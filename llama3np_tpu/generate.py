@@ -1,0 +1,192 @@
+"""Fused generation: jitted prefill + `lax.scan` greedy decode.
+
+The reference's generation loop is a Python for-loop dispatching ~58 NumPy
+ops per token (reference llama3.py:310-321; SURVEY §3.2) — per-token host
+overhead dominates.  Here the whole decode runs as one XLA computation: a
+`lax.scan` whose carry is (token, position, KV cache), so N tokens cost one
+dispatch and one device->host transfer.  Prompt lengths and step counts are
+bucketed to keep shapes static (each (batch, bucket, steps-bucket) combination
+compiles once and is cached).
+
+Phases are split into two jitted callables — `prefill` and `decode` — so
+benchmarks and the profiler see them separately (the BASELINE.json metric is
+prefill-ms + decode-tok/s).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.llama import StaticConfig, forward_hidden, forward
+from .ops import core as ops
+
+
+def _last_logits(params, h, true_len, cfg: StaticConfig):
+    """Logits at the last real prompt position (true_len - 1)."""
+    h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
+    h_last = ops.rms_norm(h_last, params["norm"], cfg.norm_eps)
+    return jnp.dot(h_last, params["lm_head"], precision=cfg.precision,
+                   preferred_element_type=jnp.float32)
+
+
+def prefill_step(params, ids_padded, true_len, cache, cos, sin,
+                 cfg: StaticConfig):
+    """Prefill a (padded) prompt at position 0.
+
+    ids_padded: [B, P] with the real prompt in [:, :true_len]; padded tail
+    K/V land in cache slots >= true_len but are never attended: decode masks
+    to kv_idx <= pos and overwrites those slots one per step.
+
+    Returns (first greedy token [B], updated cache).
+    """
+    h, cache = forward_hidden(params, ids_padded, jnp.int32(0), cache,
+                              cos, sin, cfg, first_chunk=True)
+    logits = _last_logits(params, h, true_len, cfg)
+    tok0 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    return tok0, cache
+
+
+def decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
+                 num_steps: int):
+    """Greedy-decode `num_steps` tokens starting from `tok` at `pos`.
+
+    Returns (tokens [B, num_steps], updated cache).  tokens[:, 0] is the
+    argmax successor of `tok`; `tok`'s own K/V is written at slot `pos`.
+    """
+    def step(carry, _):
+        tok, pos, cache = carry
+        logits, cache = forward(params, tok[:, None], pos, cache, cos, sin,
+                                cfg, first_chunk=False)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, cache), nxt
+
+    (_, _, cache), toks = jax.lax.scan(
+        step, (tok, pos, cache), length=num_steps
+    )
+    return toks.T, cache  # [B, num_steps]
+
+
+def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
+                        num_steps: int, interpret: bool = False):
+    """`decode_steps` with the whole per-token layer stack fused into one
+    Pallas kernel (ops.kernels.decode_step).  Batch-1 only; params must be in
+    fused + rope-split layout (the single-chip engine default)."""
+    from .ops.kernels.decode_step import decode_layers
+
+    kc = cache["k"][:, 0]  # [NL, KVH, M, HD] (B == 1)
+    vc = cache["v"][:, 0]
+
+    def step(carry, _):
+        tok, pos, kc, vc = carry
+        x = jnp.take(params["tok_embedding"], tok, axis=0)  # [1, D]
+        cos_row = jax.lax.dynamic_slice_in_dim(cos, pos, 1)
+        sin_row = jax.lax.dynamic_slice_in_dim(sin, pos, 1)
+        x, kc, vc = decode_layers(
+            params["layers"], x, pos, kc, vc, cos_row, sin_row,
+            n_heads=cfg.n_heads, kv_heads=cfg.kv_heads,
+            head_dim=cfg.head_dim, norm_eps=cfg.norm_eps,
+            interpret=interpret,
+        )
+        h = ops.rms_norm(x, params["norm"], cfg.norm_eps)
+        logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
+                         preferred_element_type=jnp.float32)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [1]
+        return (nxt, pos + 1, kc, vc), nxt
+
+    (_, _, kc, vc), toks = jax.lax.scan(step, (tok, pos, kc, vc),
+                                        length=num_steps)
+    cache = {"k": kc[:, None], "v": vc[:, None]}
+    return toks.T, cache  # [1, num_steps]
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+DECODE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+class Generator:
+    """Compiled-function cache + padding/bucketing around the fused loop."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.args = engine.args
+        self.cfg = engine.cfg
+        self._prefill = jax.jit(partial(prefill_step, cfg=self.cfg),
+                                donate_argnums=(3,))
+        self._decode = {}  # (num_steps, batch) -> jitted decode
+
+    def _use_pallas(self, batch: int) -> bool:
+        impl = self.args.attn_impl
+        if impl == "xla" or batch != 1:
+            return False
+        if not (self.cfg.fused and self.cfg.rope_split):
+            return False
+        if impl == "pallas":
+            return True
+        # auto: real TPU only (interpret mode is for tests, forced via
+        # attn_impl="pallas").
+        return jax.default_backend() not in ("cpu",)
+
+    def decode_fn(self, num_steps: int, batch: int = 1):
+        key = (num_steps, batch)
+        if key not in self._decode:
+            if self._use_pallas(batch):
+                interpret = jax.default_backend() == "cpu"
+                fn = partial(pallas_decode_steps, cfg=self.cfg,
+                             num_steps=num_steps, interpret=interpret)
+            else:
+                fn = partial(decode_steps, cfg=self.cfg, num_steps=num_steps)
+            self._decode[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._decode[key]
+
+    def generate(self, params, input_ids: np.ndarray, cache: Dict,
+                 num_tokens: int) -> Tuple[jax.Array, Dict]:
+        """Greedy-decode `num_tokens` tokens after the prompt.
+
+        input_ids: host int array [B, L].  Returns ([B, num_tokens], cache).
+        Requires L + num_tokens <= max_seq_len (the dense cache bound).
+        """
+        eng = self.engine
+        B, L = input_ids.shape
+        M = self.args.max_seq_len
+        if L + num_tokens > M:
+            raise ValueError(
+                f"prompt ({L}) + num_tokens ({num_tokens}) exceeds max_seq_len ({M})"
+            )
+        if num_tokens == 0:
+            return jnp.zeros((B, 0), jnp.int32), cache
+
+        buckets = [b for b in self.args.prefill_buckets if b <= M] or [M]
+        P = min(_bucket(L, buckets), M)
+        if P < L:
+            P = L
+        padded = np.zeros((B, P), np.int32)
+        padded[:, :L] = input_ids
+        tok0, cache = self._prefill(params, jnp.asarray(padded),
+                                    jnp.int32(L), cache, eng.cos, eng.sin)
+        if num_tokens == 1:
+            return tok0[:, None], cache
+
+        rest = num_tokens - 1
+        # Coarse power-of-two step buckets; near cache capacity fall back to
+        # 16-step granularity so decode positions never exceed the cache
+        # (L + 1 + S <= M keeps every scan iteration, including bucket
+        # overrun, writing real slots).
+        S = _bucket(rest, DECODE_BUCKETS)
+        if L + 1 + S > M:
+            S = min(-(-rest // 16) * 16, M - L - 1)
+            S = max(S, rest)
+        toks, cache = self.decode_fn(S, B)(params, tok0, jnp.int32(L), cache,
+                                           eng.cos, eng.sin)
+        out = jnp.concatenate([tok0[:, None], toks[:, :rest]], axis=1)
+        return out, cache

@@ -1,0 +1,175 @@
+"""Core jittable ops: RMSNorm, SiLU/SwiGLU, RoPE, masked KV-cache attention.
+
+These are the XLA-path implementations — pure `jnp` functions that XLA fuses
+onto the VPU/MXU.  They mirror the math of the reference ops (reference
+llama3.py:22-114 and the attention body at llama3.py:155-213) but are written
+for the TPU compilation model: static shapes everywhere, masks built with
+`broadcasted_iota` instead of data-dependent slicing, f32 accumulation under
+low-precision params, and GQA expressed as a grouped einsum rather than
+`np.repeat` (no materialized head copies).
+
+Fused Pallas variants live in `llama3np_tpu.ops.kernels`; the functions here
+are the always-available fallback and the numerics oracle for those kernels.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """x * rsqrt(mean(x^2) + eps) * w, accumulated in f32."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * w
+
+
+def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
+           precision=None) -> jax.Array:
+    """SwiGLU FFN: down( silu(x@gate) * (x@up) )."""
+    gate = jnp.dot(x, w_gate, precision=precision, preferred_element_type=jnp.float32)
+    up = jnp.dot(x, w_up, precision=precision, preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(gate) * up).astype(x.dtype)
+    return jnp.dot(h, w_down, precision=precision,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_tables(head_dim: int, max_seq_len: int, theta: float = 10000.0,
+                dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Precomputed cos/sin tables [M, HD//2].
+
+    Computed host-side in f64 then cast — one-time cost, and more accurate
+    than f32 accumulation of position*inv_freq at large positions.
+    """
+    exponents = np.arange(0, head_dim, 2, dtype=np.float64)[: head_dim // 2] / head_dim
+    inv_freq = 1.0 / (theta ** exponents)
+    angles = np.arange(max_seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    return jnp.asarray(np.cos(angles), dtype), jnp.asarray(np.sin(angles), dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate interleaved (even, odd) pairs of the last axis.
+
+    x: [B, L, H, HD]; cos/sin: [L, HD//2].  Pairing matches the reference's
+    complex-as-real layout (reference llama3.py:48-76).
+    """
+    shape = x.shape
+    xp = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    xr, xi = xp[..., 0], xp[..., 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
+    return out.reshape(shape).astype(x.dtype)
+
+
+def apply_rope_split(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """RoPE in split-halves layout: pairs are (x[..., :HD/2], x[..., HD/2:]).
+
+    Equivalent to `apply_rope` on inputs whose head columns were permuted by
+    `rope_split_permutation` — attention scores are invariant because Q and K
+    are permuted consistently.  TPU-friendly: contiguous half-slices instead
+    of stride-2 interleaving (no relayout on the 128-lane axis).
+    """
+    hd = x.shape[-1]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.astype(x.dtype)
+
+
+def rope_split_permutation(n_heads: int, head_dim: int) -> np.ndarray:
+    """Column permutation taking interleaved RoPE layout to split-halves.
+
+    perm[new_index] = old_index over the flat [n_heads * head_dim] axis:
+    within each head, new column j < HD/2 reads old column 2j (the "real"
+    lane) and j >= HD/2 reads old column 2(j - HD/2) + 1 (the "imag" lane).
+    Apply to the output columns of wq/wk once at load time.
+    """
+    half = head_dim // 2
+    within = np.concatenate([np.arange(half) * 2, np.arange(half) * 2 + 1])
+    return (np.arange(n_heads)[:, None] * head_dim + within[None, :]).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     precision=None) -> jax.Array:
+    """Self-attention within one block (first prefill chunk, start_pos == 0).
+
+    q: [B, L, NH, HD]; k, v: [B, L, KVH, HD].  Returns [B, L, NH, HD].
+    GQA via grouped einsum — KV heads are never materially repeated.
+    """
+    B, L, NH, HD = q.shape
+    KVH = k.shape[2]
+    G = NH // KVH
+    qg = q.reshape(B, L, KVH, G, HD)
+    scores = jnp.einsum("blkgd,bmkd->bkglm", qg, k, precision=precision,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(HD)
+    li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    mi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    scores = jnp.where(mi <= li, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkglm,bmkd->blkgd", probs, v, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, L, NH, HD).astype(q.dtype)
+
+
+def cache_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                    pos: jax.Array, precision=None) -> jax.Array:
+    """Attention of q against the full static-shape KV cache, masked to the
+    causally visible prefix.
+
+    q:        [B, L, NH, HD]  (queries at absolute positions pos..pos+L-1,
+                               whose K/V are already written into the cache)
+    k_cache:  [B, KVH, M, HD]
+    v_cache:  [B, KVH, M, HD]
+    pos:      scalar int32 — absolute position of q's first token.
+
+    Masking `kv_idx <= pos + l` (not slicing) keeps shapes static for XLA;
+    slots beyond the written prefix are excluded regardless of content, which
+    also deliberately avoids the reference's stale-slot quirk (SURVEY Q1).
+    """
+    B, L, NH, HD = q.shape
+    KVH = k_cache.shape[1]
+    G = NH // KVH
+    M = k_cache.shape[2]
+    qg = q.reshape(B, L, KVH, G, HD)
+    scores = jnp.einsum("blkgd,bkmd->bkglm", qg, k_cache, precision=precision,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(HD)
+    q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (L, M), 0)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (L, M), 1)
+    scores = jnp.where(kv_idx <= q_pos, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bkglm,bkmd->blkgd", probs, v_cache, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, L, NH, HD).astype(q.dtype)
+
+
+def update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
+                    k: jax.Array, v: jax.Array, pos: jax.Array):
+    """Write k, v [B, L, KVH, HD] into the caches at positions pos..pos+L-1.
+
+    Returns the updated (k_cache, v_cache), both [B, KVH, M, HD].
+    """
+    k_t = k.transpose(0, 2, 1, 3)  # [B, KVH, L, HD]
+    v_t = v.transpose(0, 2, 1, 3)
+    zero = jnp.zeros((), jnp.int32)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_t.astype(k_cache.dtype),
+                                           (zero, zero, pos, zero))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_t.astype(v_cache.dtype),
+                                           (zero, zero, pos, zero))
+    return k_cache, v_cache

@@ -1,0 +1,208 @@
+"""Fused Pallas decode step: all transformer layers of one token step in a
+single TPU kernel.
+
+This is the framework's north-star kernel (BASELINE.json): the reference's
+per-token Python loop dispatches ~58 NumPy ops (SURVEY §3.2); the XLA scan
+path compiles them into dozens of small fused kernels per step whose fixed
+costs dominate at stories15M scale.  Here one `pallas_call` walks the layers
+as sequential grid steps:
+
+  * per grid step `l`, BlockSpecs stream layer `l`'s weights HBM->VMEM
+    (Mosaic double-buffers them against the previous layer's compute);
+  * the KV caches are aliased in/out (`input_output_aliases`) and updated
+    at row `pos`;
+  * the hidden state lives in the output block (same block every step), so
+    it stays resident in VMEM across layers;
+  * RMSNorm, fused QKV matmul, split-halves RoPE, masked cache attention,
+    o-projection, and SwiGLU all execute back-to-back with no kernel
+    boundaries.
+
+Scope (deliberate): batch=1, single-token decode, fused + rope-split param
+layout (checkpoint.fuse_param_tree / permute_rope_layout), whole-layer
+weights resident in VMEM (fine through ~1B-class models; larger models take
+the XLA path or a future sub-blocked variant).
+
+The XLA-path ops in `ops.core` are the numerics oracle; parity is pinned by
+tests/test_pallas.py in interpreter mode and by the bench parity gate on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
+                       norm_eps: float):
+    nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
+    g = nh // kvh
+    qd = nh * hd
+    kvd = kvh * hd
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+
+    def kernel(pos_ref,
+               x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
+               attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
+               k_in_ref, v_in_ref,
+               x_out_ref, k_out_ref, v_out_ref):
+        layer = pl.program_id(0)
+        pos = pos_ref[0]
+        m = k_in_ref.shape[1]
+
+        @pl.when(layer == 0)
+        def _():
+            x_out_ref[:] = x_ref[:]
+
+        # Aliased output blocks start uninitialized: carry the fetched cache
+        # over, then update row `pos` in place.
+        k_out_ref[:] = k_in_ref[:]
+        v_out_ref[:] = v_in_ref[:]
+
+        x = x_out_ref[:].astype(jnp.float32)  # [1, D]
+
+        # --- attention -----------------------------------------------------
+        attn_norm = attn_norm_ref[pl.ds(layer, 1), :]  # [1, D]
+        xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+        xn = xn * attn_norm.astype(jnp.float32)
+        qkv = jnp.dot(xn, wqkv_ref[:].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)  # [1, QD+2*KVD]
+
+        cos = cos_ref[:]  # [1, HD//2]
+        sin = sin_ref[:]
+
+        def rope_row(row):  # [1, HD], split-halves layout (lane slices only)
+            r1 = row[:, : hd // 2]
+            r2 = row[:, hd // 2 :]
+            return jnp.concatenate(
+                [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
+            )
+
+        # Per-KV-head cache row update.  All slicing stays on the lane axis —
+        # Mosaic cannot shape-cast lanes into sublanes, so heads are a static
+        # Python loop (unrolled in the kernel), not a reshaped dimension.
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        mask = kv_idx <= pos
+        attn_heads = []
+        for h_kv in range(kvh):
+            k_off = qd + h_kv * hd
+            v_off = qd + kvd + h_kv * hd
+            k_rot = rope_row(qkv[:, k_off : k_off + hd])           # [1, HD]
+            k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
+            v_out_ref[h_kv, pl.ds(pos, 1), :] = (
+                qkv[:, v_off : v_off + hd].astype(v_out_ref.dtype)
+            )
+            ks = k_out_ref[h_kv].astype(jnp.float32)               # [M, HD]
+            vs = v_out_ref[h_kv].astype(jnp.float32)
+            for h_g in range(g):
+                q_off = (h_kv * g + h_g) * hd
+                q_rot = rope_row(qkv[:, q_off : q_off + hd])       # [1, HD]
+                scores = jax.lax.dot_general(
+                    q_rot, ks, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv_sqrt_hd                                    # [1, M]
+                scores = jnp.where(mask, scores, -jnp.inf)
+                smax = jnp.max(scores, axis=-1, keepdims=True)
+                sexp = jnp.exp(scores - smax)
+                probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+                attn_heads.append(
+                    jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+                )                                                  # [1, HD]
+        attn = jnp.concatenate(attn_heads, axis=-1)                # [1, QD]
+        h = x + jnp.dot(attn, wo_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+
+        # --- FFN -------------------------------------------------------------
+        zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
+        zn = zn * ffn_norm_ref[pl.ds(layer, 1), :].astype(jnp.float32)
+        gu = jnp.dot(zn, wgu_ref[:].astype(jnp.float32),
+                     preferred_element_type=jnp.float32)           # [1, 2*FD]
+        fd = wdown_ref.shape[0]
+        gate = gu[:, :fd]
+        ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fd:]
+        h = h + jnp.dot(ff, wdown_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+
+        x_out_ref[:] = h.astype(x_out_ref.dtype)
+
+    return kernel
+
+
+def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
+                  k_cache: jax.Array, v_cache: jax.Array,
+                  cos_row: jax.Array, sin_row: jax.Array,
+                  *, n_heads: int, kv_heads: int, head_dim: int,
+                  norm_eps: float, interpret: bool = False
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run all layers of one decode step in one fused kernel.
+
+    layers: fused layer tree ("wqkv" [NL,D,QD+2KVD], "wo" [NL,QD,D],
+            "wgu" [NL,D,2FD], "w_down" [NL,FD,D], "attn_norm"/"ffn_norm"
+            [NL,D]) in rope-split layout.
+    x: [1, D] hidden state (embedded token).
+    k_cache/v_cache: [NL, KVH, M, HD] (single batch row), aliased in place.
+    cos_row/sin_row: [1, HD//2] RoPE rows for `pos`.
+
+    Returns (x_out [1, D], k_cache, v_cache).
+    """
+    nl, d, qkv_d = layers["wqkv"].shape
+    fd = layers["w_down"].shape[1]
+    _, kvh, m, hd = k_cache.shape
+    qd = n_heads * head_dim
+    gfd = layers["wgu"].shape[2]
+
+    kernel = make_decode_kernel(n_heads, kv_heads, head_dim, norm_eps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl,),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda l, sref: (0, 0)),                  # x
+            pl.BlockSpec((None, d, qkv_d), lambda l, sref: (l, 0, 0)),     # wqkv
+            pl.BlockSpec((None, qd, d), lambda l, sref: (l, 0, 0)),        # wo
+            pl.BlockSpec((None, d, gfd), lambda l, sref: (l, 0, 0)),       # wgu
+            pl.BlockSpec((None, fd, d), lambda l, sref: (l, 0, 0)),        # w_down
+            pl.BlockSpec((nl, d), lambda l, sref: (0, 0)),                 # attn_norm (full)
+            pl.BlockSpec((nl, d), lambda l, sref: (0, 0)),                 # ffn_norm (full)
+            pl.BlockSpec((1, hd // 2), lambda l, sref: (0, 0)),            # cos
+            pl.BlockSpec((1, hd // 2), lambda l, sref: (0, 0)),            # sin
+            pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # k in
+            pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # v in
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d), lambda l, sref: (0, 0)),                  # x out
+            pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # k out
+            pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # v out
+        ],
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, d), x.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+
+    # Alias indices count every operand incl. the scalar-prefetch arg:
+    # pos=0, x=1, ..., k_cache=10, v_cache=11.
+    x_out, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={10: 1, 11: 2},
+        # The layer walk is a sequential dependence chain (x carries across
+        # grid steps); forbid any grid reordering.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        pos.reshape(1).astype(jnp.int32),
+        x, layers["wqkv"], layers["wo"], layers["wgu"], layers["w_down"],
+        layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
+        k_cache, v_cache,
+    )
+    return x_out, k_out, v_out

@@ -1,0 +1,101 @@
+"""Checkpoint loader / converter / synthetic-generator tests."""
+
+import io
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from llama3np_tpu import (
+    ModelArgs, build_param_tree, load_param_tree, save_npz, synthetic_weights,
+    write_synthetic_checkpoint, preset,
+)
+from llama3np_tpu.checkpoint import convert_llama2c_bin, infer_args_from_weights
+
+
+def test_param_tree_shapes(tiny_args, tiny_weights):
+    p = build_param_tree(tiny_weights, tiny_args)
+    a = tiny_args
+    kvd = a.kv_heads * a.head_dim
+    assert p["tok_embedding"].shape == (a.vocab_size, a.dim)
+    assert p["layers"]["wq"].shape == (a.n_layers, a.dim, a.dim)
+    assert p["layers"]["wk"].shape == (a.n_layers, a.dim, kvd)
+    assert p["layers"]["wo"].shape == (a.n_layers, a.dim, a.dim)
+    assert p["layers"]["w_gate"].shape == (a.n_layers, a.dim, a.hidden_dim)
+    assert p["layers"]["w_down"].shape == (a.n_layers, a.hidden_dim, a.dim)
+    assert p["lm_head"].shape == (a.dim, a.vocab_size)
+    # Transposition correctness: wq[i] == q_proj.weight.T
+    assert_allclose(
+        p["layers"]["wq"][0],
+        tiny_weights["model.layers.0.self_attn.q_proj.weight"].T,
+    )
+
+
+def test_npz_roundtrip(tmp_path, tiny_args, tiny_weights):
+    path = str(tmp_path / "ckpt.npz")
+    save_npz(tiny_weights, path)
+    p = load_param_tree(path, tiny_args)
+    q = build_param_tree(tiny_weights, tiny_args)
+    assert_allclose(p["layers"]["wq"], q["layers"]["wq"])
+
+
+def test_synthetic_checkpoint_file(tmp_path, tiny_args):
+    path = write_synthetic_checkpoint(str(tmp_path / "syn.npz"), tiny_args, seed=3)
+    p = load_param_tree(path, tiny_args)
+    assert p["norm"].shape == (tiny_args.dim,)
+
+
+def test_tied_embeddings(tiny_args, tiny_weights):
+    w = dict(tiny_weights)
+    del w["lm_head.weight"]
+    p = build_param_tree(w, tiny_args)
+    assert_allclose(p["lm_head"], p["tok_embedding"].T)
+
+
+def test_infer_args(tiny_args, tiny_weights):
+    got = infer_args_from_weights(tiny_weights, base=tiny_args)
+    assert got.dim == tiny_args.dim
+    assert got.n_layers == tiny_args.n_layers
+    assert got.hidden_dim == tiny_args.hidden_dim
+    assert got.kv_heads == tiny_args.kv_heads
+
+
+def _write_llama2c_bin(path, args, weights):
+    """Serialize HF-schema weights into the llama2.c v0 legacy layout."""
+    a = args
+    hd = a.head_dim
+    with open(path, "wb") as f:
+        np.array(
+            [a.dim, a.hidden_dim, a.n_layers, a.n_heads, a.kv_heads,
+             -a.vocab_size, a.max_seq_len], np.int32
+        ).tofile(f)  # negative vocab => untied classifier
+        weights["model.embed_tokens.weight"].astype(np.float32).tofile(f)
+        for key in ["input_layernorm"]:
+            np.stack([weights[f"model.layers.{i}.{key}.weight"] for i in range(a.n_layers)]).astype(np.float32).tofile(f)
+        for key in ["q_proj", "k_proj", "v_proj", "o_proj"]:
+            np.stack([weights[f"model.layers.{i}.self_attn.{key}.weight"] for i in range(a.n_layers)]).astype(np.float32).tofile(f)
+        np.stack([weights[f"model.layers.{i}.post_attention_layernorm.weight"] for i in range(a.n_layers)]).astype(np.float32).tofile(f)
+        for key in ["gate_proj", "down_proj", "up_proj"]:
+            np.stack([weights[f"model.layers.{i}.mlp.{key}.weight"] for i in range(a.n_layers)]).astype(np.float32).tofile(f)
+        weights["model.norm.weight"].astype(np.float32).tofile(f)
+        np.zeros(a.max_seq_len * hd // 2, np.float32).tofile(f)  # legacy rope
+        np.zeros(a.max_seq_len * hd // 2, np.float32).tofile(f)
+        weights["lm_head.weight"].astype(np.float32).tofile(f)
+
+
+def test_llama2c_converter(tmp_path, tiny_args, tiny_weights):
+    bin_path = str(tmp_path / "model.bin")
+    _write_llama2c_bin(bin_path, tiny_args, tiny_weights)
+    got, got_args = convert_llama2c_bin(bin_path)
+    assert got_args.dim == tiny_args.dim
+    assert got_args.n_layers == tiny_args.n_layers
+    assert got_args.kv_heads == tiny_args.kv_heads
+    assert not got_args.tie_word_embeddings
+    for key in tiny_weights:
+        assert_allclose(got[key], tiny_weights[key], err_msg=key)
+
+
+def test_ffn_hidden_dim_rule():
+    # stories15M: 2*4*288/3 = 768 exactly (reference comment llama3.py:98).
+    assert ModelArgs(dim=288).hidden_dim == 768
+    assert preset("stories110M").hidden_dim == 2048

@@ -1,0 +1,69 @@
+"""CLI + observability smoke tests (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_TOKENIZER
+
+needs_real_vocab = pytest.mark.skipif(
+    not os.path.exists(REFERENCE_TOKENIZER),
+    reason="reference tokenizer.model.np not available",
+)
+
+
+@needs_real_vocab
+def test_extended_cli_synthetic(capsys, tmp_path):
+    from llama3np_tpu.cli import main
+
+    log = tmp_path / "runs.jsonl"
+    rc = main([
+        "--synthetic", "--preset", "test-tiny", "--tokenizer",
+        REFERENCE_TOKENIZER, "--max-new-tokens", "6",
+        "--stats-json", "--run-log", str(log),
+        "Once upon a time",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Once upon a time" in out
+    assert "Token count:" in out and "tokens/s" in out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["generated_tokens"] == 6
+    assert stats["prefill_ms"] > 0 and stats["decode_tok_s"] > 0
+    rec = json.loads(log.read_text().splitlines()[0])
+    assert rec["preset"] == "test-tiny"
+
+
+def test_timed_generate_matches_generate_tokens(tiny_args, tiny_weights, rng):
+    from llama3np_tpu.models.llama import Llama
+    from llama3np_tpu.observability import timed_generate
+
+    eng = Llama(tiny_weights, tiny_args)
+    ids = rng.integers(3, tiny_args.vocab_size, size=(1, 4)).astype(np.int32)
+    want = np.asarray(eng.generate_tokens(ids, 8))[0].tolist()
+    toks, stats = timed_generate(eng, ids, 8)
+    assert np.asarray(toks)[0].tolist() == want
+    assert stats.prompt_tokens == 4 and stats.generated_tokens == 8
+
+
+def test_debug_trace_forward(tiny_args, tiny_weights, rng):
+    from llama3np_tpu.models.llama import Llama
+    from llama3np_tpu.observability import debug_trace_forward
+
+    eng = Llama(tiny_weights, tiny_args)
+    ids = rng.integers(3, tiny_args.vocab_size, size=(1, 5)).astype(np.int32)
+    lines = []
+    logits = debug_trace_forward(eng, ids, 0, emit=lines.append)
+    assert logits.shape == (1, 1, tiny_args.vocab_size)
+    text = "\n".join(lines)
+    for checkpoint in ["input_ids", "embedding", "rope_xq", "k_cache",
+                       "attn_out", "block_out", "logits"]:
+        assert checkpoint in text
+    # Stats lines carry dtype/shape/min/max/mean like the reference trace.
+    assert "dtype=" in lines[1] and "mean=" in lines[1]
+    # The traced logits must agree with the jitted forward.
+    eng2 = Llama(tiny_weights, tiny_args)
+    want = eng2(ids, 0)
+    np.testing.assert_allclose(logits, want, rtol=2e-4, atol=1e-4)

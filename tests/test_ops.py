@@ -1,0 +1,127 @@
+"""Per-op parity: jitted XLA ops vs the NumPy oracle (the reference's
+dual-implementation strategy, retargeted — SURVEY §4)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from llama3np_tpu.ops import core as ops
+from llama3np_tpu import reference_numpy as ref
+
+ATOL, RTOL = 1e-5, 1e-5  # per-op f32 on CPU: tight
+
+
+def test_rms_norm(rng):
+    x = rng.standard_normal((2, 8, 64)).astype(np.float32)
+    w = rng.standard_normal(64).astype(np.float32)
+    got = jax.jit(ops.rms_norm, static_argnames="eps")(jnp.asarray(x), jnp.asarray(w), eps=1e-6)
+    want = ref.rmsnorm_np(x, w, 1e-6)
+    assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_rope_tables_match(rng):
+    cos_j, sin_j = ops.rope_tables(48, 256, 10000.0)
+    cos_n, sin_n = ref.rope_tables_np(48, 256, 10000.0)
+    assert_allclose(np.asarray(cos_j), cos_n, rtol=1e-6, atol=1e-6)
+    assert_allclose(np.asarray(sin_j), sin_n, rtol=1e-6, atol=1e-6)
+
+
+def test_apply_rope(rng):
+    B, L, H, HD = 2, 8, 4, 16
+    x = rng.standard_normal((B, L, H, HD)).astype(np.float32)
+    cos, sin = ref.rope_tables_np(HD, 32)
+    got = jax.jit(ops.apply_rope)(jnp.asarray(x), jnp.asarray(cos[:L]), jnp.asarray(sin[:L]))
+    want = ref.apply_rope_np(x, cos[:L], sin[:L])
+    assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_rope_split_equivalence(rng):
+    """Scores with split-layout RoPE on permuted Q/K == interleaved RoPE on
+    the originals (the load-time wq/wk permutation is exact)."""
+    B, L, H, HD = 1, 6, 4, 16
+    q = rng.standard_normal((B, L, H, HD)).astype(np.float32)
+    k = rng.standard_normal((B, L, H, HD)).astype(np.float32)
+    cos, sin = ref.rope_tables_np(HD, 32)
+    perm = ops.rope_split_permutation(H, HD)
+
+    q_int = ref.apply_rope_np(q, cos[:L], sin[:L])
+    k_int = ref.apply_rope_np(k, cos[:L], sin[:L])
+    want = np.einsum("blhd,bmhd->bhlm", q_int, k_int)
+
+    qp = q.reshape(B, L, -1)[..., perm].reshape(B, L, H, HD)
+    kp = k.reshape(B, L, -1)[..., perm].reshape(B, L, H, HD)
+    q_spl = np.asarray(ops.apply_rope_split(jnp.asarray(qp), jnp.asarray(cos[:L]), jnp.asarray(sin[:L])))
+    k_spl = np.asarray(ops.apply_rope_split(jnp.asarray(kp), jnp.asarray(cos[:L]), jnp.asarray(sin[:L])))
+    got = np.einsum("blhd,bmhd->bhlm", q_spl, k_spl)
+    assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_swiglu(rng):
+    x = rng.standard_normal((1, 4, 32)).astype(np.float32)
+    wg = rng.standard_normal((32, 64)).astype(np.float32) * 0.1
+    wu = rng.standard_normal((32, 64)).astype(np.float32) * 0.1
+    wd = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    got = jax.jit(ops.swiglu)(*map(jnp.asarray, (x, wg, wu, wd)))
+    want = ref.silu_np(x @ wg) * (x @ wu) @ wd
+    assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("nh,kvh", [(4, 4), (4, 2), (6, 2)])
+def test_causal_attention_vs_numpy(rng, nh, kvh):
+    B, L, HD = 2, 8, 16
+    q = rng.standard_normal((B, L, nh, HD)).astype(np.float32)
+    k = rng.standard_normal((B, L, kvh, HD)).astype(np.float32)
+    v = rng.standard_normal((B, L, kvh, HD)).astype(np.float32)
+    got = jax.jit(ops.causal_attention)(*map(jnp.asarray, (q, k, v)))
+
+    # NumPy oracle: repeat KV heads, dense causal softmax-attention.
+    n_rep = nh // kvh
+    kr = np.repeat(k, n_rep, axis=2).transpose(0, 2, 1, 3)
+    vr = np.repeat(v, n_rep, axis=2).transpose(0, 2, 1, 3)
+    qt = q.transpose(0, 2, 1, 3)
+    scores = qt @ kr.transpose(0, 1, 3, 2) / np.sqrt(HD)
+    mask = np.triu(np.full((L, L), -np.inf, np.float32), k=1)
+    want = (ref.softmax_np(scores + mask) @ vr).transpose(0, 2, 1, 3)
+    assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("L,pos", [(1, 0), (1, 5), (4, 3)])
+def test_cache_attention_vs_numpy(rng, L, pos):
+    B, NH, KVH, HD, M = 1, 4, 2, 16, 16
+    q = rng.standard_normal((B, L, NH, HD)).astype(np.float32)
+    # A cache whose first pos+L slots are "written"; tail is garbage that the
+    # mask must exclude.
+    k_hist = rng.standard_normal((B, M, KVH, HD)).astype(np.float32)
+    v_hist = rng.standard_normal((B, M, KVH, HD)).astype(np.float32)
+
+    k_cache = jnp.asarray(k_hist.transpose(0, 2, 1, 3))  # [B,KVH,M,HD]
+    v_cache = jnp.asarray(v_hist.transpose(0, 2, 1, 3))  # [B,KVH,M,HD]
+    got = jax.jit(ops.cache_attention)(jnp.asarray(q), k_cache, v_cache, jnp.int32(pos))
+
+    # Oracle attends slices [0 : pos+l+1] per query row l.
+    n_rep = NH // KVH
+    out = np.zeros((B, L, NH, HD), np.float32)
+    for l in range(L):
+        T = pos + l + 1
+        kr = np.repeat(k_hist[:, :T], n_rep, axis=2).transpose(0, 2, 1, 3)
+        vr = np.repeat(v_hist[:, :T], n_rep, axis=2).transpose(0, 2, 1, 3)
+        qt = q[:, l : l + 1].transpose(0, 2, 1, 3)
+        scores = qt @ kr.transpose(0, 1, 3, 2) / np.sqrt(HD)
+        out[:, l] = (ref.softmax_np(scores) @ vr)[:, :, 0, :]
+    assert_allclose(np.asarray(got), out, rtol=1e-4, atol=1e-5)
+
+
+def test_update_kv_cache(rng):
+    B, L, KVH, HD, M = 1, 3, 2, 8, 16
+    k = rng.standard_normal((B, L, KVH, HD)).astype(np.float32)
+    v = rng.standard_normal((B, L, KVH, HD)).astype(np.float32)
+    kc = jnp.zeros((B, KVH, M, HD))
+    vc = jnp.zeros((B, KVH, M, HD))
+    kc, vc = jax.jit(ops.update_kv_cache)(kc, vc, jnp.asarray(k), jnp.asarray(v), jnp.int32(5))
+    assert_allclose(np.asarray(kc)[:, :, 5:8], k.transpose(0, 2, 1, 3), rtol=0, atol=0)
+    assert_allclose(np.asarray(vc)[:, :, 5:8], v.transpose(0, 2, 1, 3), rtol=0, atol=0)
+    assert np.asarray(kc)[:, :, :5].sum() == 0
+    assert np.asarray(vc)[:, :, 8:].sum() == 0

@@ -1,0 +1,81 @@
+"""Pallas fused-decode-kernel parity (interpreter mode on CPU).
+
+The XLA-path ops are the oracle: the fused kernel must reproduce the decode
+stream and logits of the `decode_steps` scan within fp32 tolerance.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from llama3np_tpu import preset, synthetic_weights
+from llama3np_tpu.models.llama import Llama
+
+ATOL, RTOL = 1e-4, 2e-4
+
+
+@pytest.mark.parametrize("name", ["test-tiny", "test-tiny-mha"])
+def test_pallas_decode_matches_xla(name, rng):
+    """Full generate: Pallas fused decode vs XLA decode, token identity."""
+    args_x = preset(name, attn_impl="xla")
+    args_p = preset(name, attn_impl="pallas")
+    weights = synthetic_weights(args_x, seed=13)
+    ids = rng.integers(3, args_x.vocab_size, size=(1, 5)).astype(np.int32)
+
+    eng_x = Llama(weights, args_x)
+    want = np.asarray(eng_x.generate_tokens(ids, 10))[0].tolist()
+
+    eng_p = Llama(weights, args_p)
+    got = np.asarray(eng_p.generate_tokens(ids, 10))[0].tolist()
+    assert got == want
+
+
+def test_pallas_layer_step_values(tiny_args, tiny_weights, rng):
+    """Single decode step: kernel hidden state vs the XLA layer scan."""
+    from llama3np_tpu.checkpoint import (build_param_tree, fuse_param_tree,
+                                         permute_rope_layout)
+    from llama3np_tpu.models.llama import forward_hidden, StaticConfig
+    from llama3np_tpu.ops.core import rope_tables
+    from llama3np_tpu.ops.kernels.decode_step import decode_layers
+    from llama3np_tpu.kvcache import init_cache
+
+    args = tiny_args
+    params = permute_rope_layout(build_param_tree(tiny_weights, args), args)
+    fused = fuse_param_tree(params)
+    cfg = StaticConfig.from_args(args, fused=True, rope_split=True)
+    cos, sin = rope_tables(args.head_dim, args.max_seq_len, args.rope_theta)
+
+    # Seed both paths with the same prefilled cache.
+    cache = init_cache(args)
+    ids = rng.integers(3, args.vocab_size, size=(1, 4)).astype(np.int32)
+    h, cache = forward_hidden({k: jnp.asarray(v) if not isinstance(v, dict)
+                               else jax.tree.map(jnp.asarray, v)
+                               for k, v in fused.items()},
+                              jnp.asarray(ids), jnp.int32(0), cache,
+                              cos, sin, cfg, first_chunk=True)
+
+    pos = jnp.int32(4)
+    tok = jnp.array([7], jnp.int32)
+    x = jnp.take(jnp.asarray(fused["tok_embedding"]), tok, axis=0)
+
+    # Oracle: one XLA decode forward.
+    h_x, cache_x = forward_hidden(jax.tree.map(jnp.asarray, fused),
+                                  tok[:, None], pos, jax.tree.map(jnp.array, cache),
+                                  cos, sin, cfg, first_chunk=False)
+
+    # Kernel (interpret mode).
+    cos_row = cos[4:5]
+    sin_row = sin[4:5]
+    x_out, kc, vc = decode_layers(
+        jax.tree.map(jnp.asarray, fused["layers"]), x, pos,
+        cache["k"][:, 0], cache["v"][:, 0], cos_row, sin_row,
+        n_heads=args.n_heads, kv_heads=args.kv_heads,
+        head_dim=args.head_dim, norm_eps=args.norm_eps, interpret=True,
+    )
+
+    assert_allclose(np.asarray(x_out), np.asarray(h_x)[:, 0], rtol=RTOL, atol=ATOL)
+    assert_allclose(np.asarray(kc), np.asarray(cache_x["k"])[:, 0], rtol=RTOL, atol=ATOL)
+    assert_allclose(np.asarray(vc), np.asarray(cache_x["v"])[:, 0], rtol=RTOL, atol=ATOL)

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Validates that tensor-parallel (tp) and data-parallel (dp) layouts compile,
+execute, and produce results identical to the single-device path — the
+GSPMD-inserted collectives must be numerically transparent.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+
+from llama3np_tpu import preset, synthetic_weights
+from llama3np_tpu.models.llama import Llama
+from llama3np_tpu.parallel import make_mesh, validate_tp
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+ATOL, RTOL = 1e-4, 2e-4
+
+
+@pytest.fixture(scope="module")
+def shard_args():
+    # kv_heads=8 so tp=4 divides; vocab 512 divides tp.
+    return preset("test-tiny", dim=128, n_heads=8, n_kv_heads=8,
+                  vocab_size=512, max_batch_size=2)
+
+
+@pytest.fixture(scope="module")
+def shard_weights(shard_args):
+    return synthetic_weights(shard_args, seed=5)
+
+
+def test_validate_tp(shard_args):
+    validate_tp(shard_args, make_mesh(1, 4))
+    bad = shard_args.replace(n_kv_heads=6)
+    with pytest.raises(ValueError):
+        validate_tp(bad, make_mesh(1, 4))
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 8), (2, 4), (2, 1)])
+def test_sharded_forward_matches_single(shard_args, shard_weights, rng, dp, tp):
+    ids = rng.integers(3, shard_args.vocab_size, size=(2, 8)).astype(np.int32)
+    single = Llama(shard_weights, shard_args)
+    want = single(ids, 0)
+    mesh = make_mesh(dp, tp)
+    sharded = Llama(shard_weights, shard_args, mesh=mesh)
+    got = sharded(ids, 0)
+    assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_sharded_generate_token_identity(shard_args, shard_weights, rng):
+    ids = rng.integers(3, shard_args.vocab_size, size=(2, 6)).astype(np.int32)
+    single = Llama(shard_weights, shard_args)
+    want = np.asarray(single.generate_tokens(ids, 8))
+    sharded = Llama(shard_weights, shard_args, mesh=make_mesh(2, 4))
+    got = np.asarray(sharded.generate_tokens(ids, 8))
+    assert got.tolist() == want.tolist()
+
+
+def test_param_layout(shard_args, shard_weights):
+    mesh = make_mesh(2, 4)
+    engine = Llama(shard_weights, shard_args, mesh=mesh)
+    wq = engine.params["layers"]["wq"]
+    # Sharded on the out-features (heads) axis over tp=4.
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    full = wq.shape
+    assert shard_shapes == {(full[0], full[1], full[2] // 4)}
