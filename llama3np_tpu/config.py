@@ -60,6 +60,10 @@ class ModelArgs:
     # Permute wq/wk columns at load so RoPE runs in split-halves layout
     # (exact transformation; avoids stride-2 lane shuffles on TPU).
     rope_split_layout: bool = True
+    # Blockwise (flash-semantics) prefill attention block size; prefills of
+    # >= 2 blocks accumulate over KV blocks instead of materializing the
+    # dense score tensor.  0 disables.
+    prefill_kv_block: int = 512
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

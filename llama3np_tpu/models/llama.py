@@ -41,12 +41,14 @@ class StaticConfig(NamedTuple):
     fused: bool = False   # params carry wqkv / wgu instead of wq/wk/wv, w_gate/w_up
     unroll: int = 1       # layer-scan unroll factor
     rope_split: bool = False  # wq/wk permuted to split-halves RoPE layout
+    kv_block: int = 512       # blockwise-attention block (0 = always dense)
 
     @classmethod
     def from_args(cls, args: ModelArgs, precision=None, fused=False,
                   unroll=1, rope_split=False) -> "StaticConfig":
         return cls(args.n_heads, args.kv_heads, args.head_dim, args.norm_eps,
-                   precision, fused, unroll, rope_split)
+                   precision, fused, unroll, rope_split,
+                   getattr(args, "prefill_kv_block", 512))
 
 
 def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
@@ -77,9 +79,23 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
     q = rope(q, cos, sin)
     k = rope(k, cos, sin)
     ck, cv = ops.update_kv_cache(ck, cv, k, v, pos)
+    blockwise = (cfg.kv_block > 0 and L % cfg.kv_block == 0
+                 and L >= 2 * cfg.kv_block)
     if first_chunk:
-        # start_pos == 0 prefill: history is exactly this block.
-        attn = ops.causal_attention(q, k, v, precision=cfg.precision)
+        if blockwise:
+            # Long prefill: flash-semantics accumulation bounds peak memory
+            # at O(L * kv_block) instead of the O(L^2) dense score tensor.
+            attn = ops.blockwise_causal_attention(
+                q, k, v, pos, cfg.kv_block, precision=cfg.precision)
+        else:
+            # start_pos == 0 prefill: history is exactly this block.
+            attn = ops.causal_attention(q, k, v, precision=cfg.precision)
+    elif L > 1 and cfg.kv_block > 0 and ck.shape[2] % cfg.kv_block == 0 \
+            and ck.shape[2] >= 2 * cfg.kv_block:
+        # Long chunked prefill against the cache.
+        attn = ops.blockwise_causal_attention(
+            q, ck.transpose(0, 2, 1, 3), cv.transpose(0, 2, 1, 3), pos,
+            cfg.kv_block, precision=cfg.precision)
     else:
         attn = ops.cache_attention(q, ck, cv, pos, precision=cfg.precision)
     attn = attn.reshape(B, L, -1)
@@ -182,6 +198,8 @@ class Llama:
         self.cache = self.init_cache()
         self._fwd_cache: Dict[Tuple[int, bool], Any] = {}
         self._gen = None  # built lazily by generate paths
+        self._last_pos = None     # position of the last generated token
+        self._last_tokens = None  # [B] last generated token per row
 
     # -- cache --------------------------------------------------------------
 
@@ -229,6 +247,45 @@ class Llama:
         for t in np.asarray(toks).T:  # [steps, B] -> per-step [B]
             yield t[:, None]
 
+    # -- generation-state checkpointing -------------------------------------
+
+    def save_generation_state(self, path: str):
+        """Persist (KV cache, last position, last tokens) so a generation can
+        be resumed deterministically in a later process (the reference has no
+        such path — SURVEY §5 checkpoint/resume).  Uses the state tracked by
+        the last `generate_tokens` call."""
+        if self._last_tokens is None:
+            raise ValueError("no generation to save; call generate_tokens first")
+        np.savez(path,
+                 cache_k=np.asarray(self.cache["k"]),
+                 cache_v=np.asarray(self.cache["v"]),
+                 pos=np.int32(self._last_pos),
+                 last_tokens=np.asarray(self._last_tokens, np.int32))
+
+    def resume_generate(self, path: str, num_tokens: int) -> jax.Array:
+        """Continue greedy decoding from a saved generation state; returns
+        the new tokens [B, num_tokens].  The saved `pos` is the position of
+        the last generated token — resuming forwards that token at `pos`
+        (writing its K/V) and continues the stream exactly."""
+        from ..generate import Generator
+        state = np.load(path)
+        pos = int(state["pos"])
+        if pos + 1 + num_tokens > self.args.max_seq_len:
+            raise ValueError("resume would exceed max_seq_len")
+        self.cache = self._shard_cache({
+            "k": jnp.asarray(state["cache_k"]),
+            "v": jnp.asarray(state["cache_v"]),
+        })
+        if self._gen is None:
+            self._gen = Generator(self)
+        tok = jnp.asarray(state["last_tokens"], jnp.int32)
+        toks, self.cache = self._gen.decode_fn(num_tokens, tok.shape[0])(
+            self.params, tok, jnp.int32(pos), self.cache, self.cos, self.sin
+        )
+        self._last_pos = pos + num_tokens
+        self._last_tokens = np.asarray(toks)[:, -1]
+        return toks
+
     def generate_tokens(self, input_ids, num_tokens: int) -> jax.Array:
         """Fused greedy decode of exactly `num_tokens` new tokens; returns
         them as [B, num_tokens] on device."""
@@ -239,4 +296,7 @@ class Llama:
         toks, self.cache = self._gen.generate(
             self.params, ids, self.init_cache(ids.shape[0]), num_tokens
         )
+        if num_tokens > 0:
+            self._last_pos = ids.shape[1] + num_tokens - 1
+            self._last_tokens = np.asarray(toks)[:, -1]
         return toks

@@ -159,6 +159,68 @@ def cache_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.reshape(B, L, NH, HD).astype(q.dtype)
 
 
+def blockwise_causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                               pos, kv_block: int = 512,
+                               precision=None) -> jax.Array:
+    """Flash-semantics causal attention: online-softmax accumulation over KV
+    blocks, so peak memory is O(L * kv_block) instead of O(L * M).
+
+    q: [B, L, NH, HD] at absolute positions pos..pos+L-1;
+    k, v: [B, T, KVH, HD] — the full visible key range starting at absolute
+    position 0 (e.g. current block for pos=0 prefill, or cache rows for
+    chunked prefill).  T must be a multiple of kv_block (pad with masked rows).
+
+    This is the XLA realization of the flash recipe (running max `m`, running
+    normalizer `l`, rescaled accumulator) — the Pallas prefill kernel
+    specializes the same math; `causal_attention` is its oracle.
+    """
+    B, L, NH, HD = q.shape
+    T = k.shape[1]
+    KVH = k.shape[2]
+    G = NH // KVH
+    assert T % kv_block == 0, (T, kv_block)
+    nb = T // kv_block
+
+    qg = q.reshape(B, L, KVH, G, HD)
+    q_pos = pos + jax.lax.broadcasted_iota(jnp.int32, (L, kv_block), 0)
+
+    kb = k.transpose(0, 2, 1, 3).reshape(B, KVH, nb, kv_block, HD)
+    vb = v.transpose(0, 2, 1, 3).reshape(B, KVH, nb, kv_block, HD)
+    kb = jnp.moveaxis(kb, 2, 0)  # [nb, B, KVH, kv_block, HD]
+    vb = jnp.moveaxis(vb, 2, 0)
+
+    def step(carry, blk):
+        acc, m, l = carry
+        kj, vj, j = blk
+        s = jnp.einsum("blkgd,bkcd->bkglc", qg, kj, precision=precision,
+                       preferred_element_type=jnp.float32) / math.sqrt(HD)
+        kv_idx = j * kv_block + jax.lax.broadcasted_iota(
+            jnp.int32, (L, kv_block), 1)
+        s = jnp.where((kv_idx <= q_pos)[None, None, None], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # exp(-inf - -inf) is nan; a fully-masked running max stays -inf, so
+        # guard the rescale factor.
+        alpha = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(m - m_new))
+        p = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(s - m_new))
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.einsum("bkglc,bkcd->bkgld", p.astype(vj.dtype), vj,
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + pv
+        return (acc_new, m_new, l_new), None
+
+    acc0 = jnp.zeros((B, KVH, G, L, HD), jnp.float32)
+    m0 = jnp.full((B, KVH, G, L, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, KVH, G, L, 1), jnp.float32)
+    (acc, m, l), _ = jax.lax.scan(
+        step, (acc0, m0, l0),
+        (kb, vb, jnp.arange(nb, dtype=jnp.int32)),
+    )
+    out = acc / jnp.maximum(l, 1e-30)
+    # [B, KVH, G, L, HD] -> [B, L, NH, HD]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, L, NH, HD).astype(q.dtype)
+
+
 def update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
                     k: jax.Array, v: jax.Array, pos: jax.Array):
     """Write k, v [B, L, KVH, HD] into the caches at positions pos..pos+L-1.

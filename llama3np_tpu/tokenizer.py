@@ -121,3 +121,28 @@ class Tokenizer:
     @property
     def vocab_size(self) -> int:
         return len(self.vocab)
+
+
+def convert_llama2c_tokenizer(bin_path: str, out_path: str) -> str:
+    """Convert a llama2.c ``tokenizer.bin`` to the JSON model format the
+    reference uses (``{"tokens": [...], "scores": [...]}``).
+
+    Binary layout: int32 max_token_length, then per token
+    (float32 score, int32 length, UTF-8 bytes).
+    """
+    import struct
+
+    tokens = []
+    scores = []
+    with open(bin_path, "rb") as f:
+        f.read(4)  # max_token_length, unused
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            score, length = struct.unpack("<fi", head)
+            tokens.append(f.read(length).decode("utf-8", errors="replace"))
+            scores.append(float(score))
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump({"tokens": tokens, "scores": scores}, f, ensure_ascii=False)
+    return out_path

@@ -95,6 +95,45 @@ def test_llama2c_converter(tmp_path, tiny_args, tiny_weights):
         assert_allclose(got[key], tiny_weights[key], err_msg=key)
 
 
+def test_llama2c_tokenizer_converter(tmp_path):
+    import struct
+    from llama3np_tpu.tokenizer import Tokenizer, convert_llama2c_tokenizer
+
+    tokens = ["<unk>", "<s>", "</s>", "a", "b", "ab", " ", "é"]
+    scores = [0.0, 0.0, 0.0, -1.0, -1.5, -2.0, -1.0, -3.0]
+    bin_path = tmp_path / "tokenizer.bin"
+    with open(bin_path, "wb") as f:
+        f.write(struct.pack("<i", max(len(t.encode()) for t in tokens)))
+        for tok, score in zip(tokens, scores):
+            data = tok.encode("utf-8")
+            f.write(struct.pack("<fi", score, len(data)))
+            f.write(data)
+    out = convert_llama2c_tokenizer(str(bin_path), str(tmp_path / "tok.json"))
+    tok = Tokenizer(out)
+    assert tok.vocab == tokens
+    assert tok.encode("ab", add_bos=False) == [5]
+    assert tok.encode("é", add_bos=False) == [7]
+
+
+def test_generation_resume(tmp_path, tiny_args, tiny_weights, rng):
+    """Resume from a saved (cache, pos, last token) must continue the exact
+    stream an uninterrupted generation produces."""
+    from llama3np_tpu.models.llama import Llama
+
+    eng = Llama(tiny_weights, tiny_args)
+    ids = rng.integers(3, tiny_args.vocab_size, size=(1, 4)).astype(np.int32)
+    full = np.asarray(eng.generate_tokens(ids, 12))[0].tolist()
+
+    eng2 = Llama(tiny_weights, tiny_args)
+    first = np.asarray(eng2.generate_tokens(ids, 6))[0].tolist()
+    state = str(tmp_path / "gen_state.npz")
+    eng2.save_generation_state(state)
+
+    eng3 = Llama(tiny_weights, tiny_args)
+    rest = np.asarray(eng3.resume_generate(state, 6))[0].tolist()
+    assert first + rest == full
+
+
 def test_ffn_hidden_dim_rule():
     # stories15M: 2*4*288/3 = 768 exactly (reference comment llama3.py:98).
     assert ModelArgs(dim=288).hidden_dim == 768

@@ -114,6 +114,52 @@ def test_cache_attention_vs_numpy(rng, L, pos):
     assert_allclose(np.asarray(got), out, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pos,L,T,blk", [(0, 32, 32, 8), (16, 32, 64, 16), (0, 64, 64, 64)])
+def test_blockwise_matches_dense(rng, pos, L, T, blk):
+    """Flash-semantics blockwise accumulation == dense cache attention."""
+    B, NH, KVH, HD = 2, 4, 2, 16
+    q = rng.standard_normal((B, L, NH, HD)).astype(np.float32)
+    k = rng.standard_normal((B, T, KVH, HD)).astype(np.float32)
+    v = rng.standard_normal((B, T, KVH, HD)).astype(np.float32)
+    got = jax.jit(ops.blockwise_causal_attention, static_argnames="kv_block")(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(pos),
+        kv_block=blk,
+    )
+    want = ops.cache_attention(
+        jnp.asarray(q), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)), jnp.int32(pos),
+    )
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5)
+
+
+def test_long_prefill_blockwise_path(rng):
+    """Model-level: a prompt long enough to trigger the blockwise path must
+    produce the same logits as the dense configuration."""
+    from llama3np_tpu import preset, synthetic_weights
+    from llama3np_tpu.models.llama import Llama
+
+    args_b = preset("test-tiny", max_seq_len=128, prefill_kv_block=32,
+                    prefill_buckets=(64, 128))
+    args_d = args_b.replace(prefill_kv_block=0)
+    weights = synthetic_weights(args_b, seed=17)
+    ids = rng.integers(3, args_b.vocab_size, size=(1, 70)).astype(np.int32)
+    blockwise = Llama(weights, args_b)
+    dense = Llama(weights, args_d)
+    got = np.asarray(blockwise.generate_tokens(ids, 6))[0].tolist()
+    want = np.asarray(dense.generate_tokens(ids, 6))[0].tolist()
+    assert got == want
+
+    # Chunked prefill (L>1 at pos>0) also routes through the blockwise
+    # accumulation over the cache; logits must match the dense config.
+    blockwise.reset()
+    dense.reset()
+    blockwise(ids[:, :40], 0)
+    dense(ids[:, :40], 0)
+    lb = blockwise(ids[:, 40:], 40)
+    ld = dense(ids[:, 40:], 40)
+    assert_allclose(lb, ld, rtol=2e-4, atol=1e-4)
+
+
 def test_update_kv_cache(rng):
     B, L, KVH, HD, M = 1, 3, 2, 8, 16
     k = rng.standard_normal((B, L, KVH, HD)).astype(np.float32)
