@@ -44,3 +44,51 @@ def cache_nbytes(args: ModelArgs, batch_size: Optional[int] = None) -> int:
     B = batch_size or args.max_batch_size
     itemsize = jnp.dtype(args.kv_dtype).itemsize
     return 2 * args.n_layers * B * args.kv_heads * args.head_dim * args.max_seq_len * itemsize
+
+
+# ---------------------------------------------------------------------------
+# Paged KV cache (serving path; BASELINE config 4)
+# ---------------------------------------------------------------------------
+
+def init_paged_cache(args: ModelArgs, num_pages: int, page_size: int = 16,
+                     dtype=None) -> Dict:
+    """Paged cache pool: pages are allocated to sequences on demand, so HBM
+    holds only the tokens that exist instead of `capacity x max_seq_len`
+    dense rows.
+
+        k, v: [n_layers, num_pages, page_size, KVH, HD]
+
+    Page 0 is reserved as the null page (block tables point unused entries at
+    it; reads from it are always masked off by the per-row length).
+    """
+    dt = jnp.dtype(dtype or args.kv_dtype)
+    kvh, hd, nl = args.kv_heads, args.head_dim, args.n_layers
+    return {
+        "k": jnp.zeros((nl, num_pages, page_size, kvh, hd), dt),
+        "v": jnp.zeros((nl, num_pages, page_size, kvh, hd), dt),
+    }
+
+
+class PageAllocator:
+    """Host-side free-list allocator over the page pool (page 0 reserved)."""
+
+    def __init__(self, num_pages: int):
+        self.num_pages = num_pages
+        self._free = list(range(num_pages - 1, 0, -1))  # stack; 0 reserved
+
+    def alloc(self, n: int) -> list:
+        if n > len(self._free):
+            raise MemoryError(
+                f"paged KV cache exhausted: need {n} pages, "
+                f"{len(self._free)} free of {self.num_pages - 1}"
+            )
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages) -> None:
+        for p in pages:
+            if p != 0:
+                self._free.append(p)
+
+    @property
+    def available(self) -> int:
+        return len(self._free)

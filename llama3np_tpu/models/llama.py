@@ -150,6 +150,100 @@ def forward(params: Dict, input_ids, pos, cache: Dict, cos, sin,
     return logits, cache
 
 
+def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
+                          cfg: StaticConfig, block_table=None):
+    """One decode step where every batch row sits at its own position.
+
+    tokens: [B] int32; pos: [B] int32 (row b's token goes to slot pos[b] and
+    attends kv_idx <= pos[b]).  Returns (logits [B, VS], cache).  This is the
+    continuous-batching step: rows may belong to different requests at
+    different sequence lengths.
+
+    Dense mode (block_table None): cache k/v are [NL, B, KVH, M, HD].
+    Paged mode: cache k/v are page pools [NL, P, page_size, KVH, HD] and
+    block_table [B, max_pages] maps each row's pages (kvcache.init_paged_cache).
+    """
+    B = tokens.shape[0]
+    if block_table is not None:
+        page = cache["k"].shape[2]
+        page_ids = jnp.take_along_axis(
+            block_table, (pos // page)[:, None], axis=1
+        )[:, 0]
+        offsets = pos % page
+    h = jnp.take(params["tok_embedding"], tokens[:, None], axis=0)  # [B,1,D]
+    cos_b = jnp.take(cos, pos, axis=0)  # [B, HD//2]
+    sin_b = jnp.take(sin, pos, axis=0)
+
+    def rope_rows(x):  # [B, 1, H, HD] with per-row tables
+        hd = x.shape[-1]
+        if cfg.rope_split:
+            x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+        else:
+            xp = x.reshape(*x.shape[:-1], hd // 2, 2)
+            x1, x2 = xp[..., 0], xp[..., 1]
+        c = cos_b[:, None, None, :]
+        s = sin_b[:, None, None, :]
+        r1 = x1 * c - x2 * s
+        r2 = x1 * s + x2 * c
+        if cfg.rope_split:
+            return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+        return jnp.stack([r1, r2], axis=-1).reshape(x.shape).astype(x.dtype)
+
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.kv_heads * cfg.head_dim
+
+    def step(h, xs):
+        lp, ck, cv = xs
+        x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
+        if cfg.fused:
+            qkv = jnp.dot(x, lp["wqkv"], precision=cfg.precision,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+            q, k, v = (qkv[..., :qd], qkv[..., qd : qd + kvd],
+                       qkv[..., qd + kvd :])
+        else:
+            q = jnp.dot(x, lp["wq"], precision=cfg.precision,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+            k = jnp.dot(x, lp["wk"], precision=cfg.precision,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+            v = jnp.dot(x, lp["wv"], precision=cfg.precision,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        q = rope_rows(q.reshape(B, 1, cfg.n_heads, cfg.head_dim))
+        k = rope_rows(k.reshape(B, 1, cfg.kv_heads, cfg.head_dim))
+        v = v.reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        if block_table is not None:
+            ck, cv = ops.paged_update_kv_cache(ck, cv, k, v, page_ids, offsets)
+            attn = ops.paged_attention(q, ck, cv, block_table, pos,
+                                       precision=cfg.precision)
+        else:
+            ck, cv = ops.ragged_update_kv_cache(ck, cv, k, v, pos)
+            attn = ops.ragged_cache_attention(q, ck, cv, pos,
+                                              precision=cfg.precision)
+        h = h + jnp.dot(attn.reshape(B, 1, -1), lp["wo"],
+                        precision=cfg.precision,
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        if cfg.fused:
+            fd = lp["w_down"].shape[0]
+            gu = jnp.dot(z, lp["wgu"], precision=cfg.precision,
+                         preferred_element_type=jnp.float32)
+            ff = (jax.nn.silu(gu[..., :fd]) * gu[..., fd:]).astype(z.dtype)
+            h = h + jnp.dot(ff, lp["w_down"], precision=cfg.precision,
+                            preferred_element_type=jnp.float32).astype(h.dtype)
+        else:
+            h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
+                               precision=cfg.precision)
+        return h, (ck, cv)
+
+    h, (ck_new, cv_new) = jax.lax.scan(
+        step, h, (params["layers"], cache["k"], cache["v"]),
+        unroll=cfg.unroll,
+    )
+    h = ops.rms_norm(h[:, -1, :], params["norm"], cfg.norm_eps)
+    logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
+                     preferred_element_type=jnp.float32)
+    return logits, {"k": ck_new, "v": cv_new}
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------

@@ -235,3 +235,90 @@ def update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_t.astype(v_cache.dtype),
                                            (zero, zero, pos, zero))
     return k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Ragged (per-row position) decode — the serving path
+# ---------------------------------------------------------------------------
+
+def ragged_update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
+                           k: jax.Array, v: jax.Array, pos: jax.Array):
+    """Per-row single-token cache write: row b lands at its own pos[b].
+
+    k, v: [B, 1, KVH, HD]; pos: [B] int32.  Returns updated caches
+    [B, KVH, M, HD].  Rows may sit at different sequence lengths — this is
+    the decode write for continuous batching.
+    """
+    def write(cache_row, val_row, p):
+        # cache_row: [KVH, M, HD]; val_row: [KVH, 1, HD]
+        return jax.lax.dynamic_update_slice(
+            cache_row, val_row, (jnp.int32(0), p, jnp.int32(0))
+        )
+
+    k_t = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B, KVH, 1, HD]
+    v_t = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+    k_cache = jax.vmap(write)(k_cache, k_t, pos)
+    v_cache = jax.vmap(write)(v_cache, v_t, pos)
+    return k_cache, v_cache
+
+
+def paged_update_kv_cache(k_pages: jax.Array, v_pages: jax.Array,
+                          k: jax.Array, v: jax.Array,
+                          page_ids: jax.Array, offsets: jax.Array):
+    """Scatter one token's K/V per row into the page pool.
+
+    k_pages/v_pages: [P, page_size, KVH, HD] (one layer's pool);
+    k, v: [B, 1, KVH, HD]; page_ids, offsets: [B] — row b's token lands at
+    (page_ids[b], offsets[b]).
+    """
+    k_pages = k_pages.at[page_ids, offsets].set(k[:, 0].astype(k_pages.dtype))
+    v_pages = v_pages.at[page_ids, offsets].set(v[:, 0].astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
+def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
+                    block_table: jax.Array, pos: jax.Array,
+                    precision=None) -> jax.Array:
+    """Decode attention over a paged cache (XLA gather realization).
+
+    q: [B, 1, NH, HD]; pools [P, page_size, KVH, HD]; block_table
+    [B, max_pages] page ids (unused entries -> null page 0); pos [B].
+
+    Gathers each row's pages into a contiguous view and applies the ragged
+    mask — the always-correct fallback; a Pallas kernel can stream pages
+    instead of materializing the gather.
+    """
+    B = q.shape[0]
+    page = k_pages.shape[1]
+    maxp = block_table.shape[1]
+    kvh, hd = k_pages.shape[2], k_pages.shape[3]
+    kg = k_pages[block_table]  # [B, maxp, page, KVH, HD]
+    vg = v_pages[block_table]
+    k_t = kg.reshape(B, maxp * page, kvh, hd).transpose(0, 2, 1, 3)
+    v_t = vg.reshape(B, maxp * page, kvh, hd).transpose(0, 2, 1, 3)
+    return ragged_cache_attention(q, k_t, v_t, pos, precision=precision)
+
+
+def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
+                           v_cache: jax.Array, pos: jax.Array,
+                           precision=None) -> jax.Array:
+    """Single-token attention with per-row visible lengths.
+
+    q: [B, 1, NH, HD]; caches [B, KVH, M, HD]; pos: [B] — row b attends
+    kv_idx <= pos[b].  Returns [B, 1, NH, HD].
+    """
+    B, L, NH, HD = q.shape
+    assert L == 1, "ragged attention is a decode (single-token) op"
+    KVH = k_cache.shape[1]
+    G = NH // KVH
+    M = k_cache.shape[2]
+    qg = q.reshape(B, KVH, G, HD)
+    scores = jnp.einsum("bkgd,bkmd->bkgm", qg, k_cache, precision=precision,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(HD)
+    kv_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, M), 3)
+    scores = jnp.where(kv_idx <= pos[:, None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    out = jnp.einsum("bkgm,bkmd->bkgd", probs, v_cache, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, 1, NH, HD).astype(q.dtype)

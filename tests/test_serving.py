@@ -1,0 +1,118 @@
+"""Continuous-batching engine tests: ragged decode must reproduce each
+request's solo greedy stream regardless of admission order or co-tenants."""
+
+import numpy as np
+import pytest
+
+from llama3np_tpu import preset, synthetic_weights
+from llama3np_tpu.models.llama import Llama
+from llama3np_tpu.serving import BatchEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    args = preset("test-tiny")
+    weights = synthetic_weights(args, seed=23)
+    return args, weights, Llama(weights, args)
+
+
+def solo_stream(engine, prompt, n, stop_ids=(1, 2)):
+    toks = np.asarray(engine.generate_tokens(
+        np.array([prompt], np.int32), n))[0].tolist()
+    out = []
+    for t in toks:
+        if t in stop_ids:
+            break
+        out.append(t)
+    return out
+
+
+def test_single_request_matches_solo(setup, rng):
+    args, weights, engine = setup
+    prompt = rng.integers(3, args.vocab_size, size=6).tolist()
+    want = solo_stream(engine, prompt, 10)
+
+    be = BatchEngine(engine, capacity=4)
+    req = be.submit(prompt, max_new_tokens=10)
+    be.run_to_completion()
+    assert req.done
+    assert req.generated == want
+
+
+def test_staggered_requests_match_solo(setup, rng):
+    args, weights, engine = setup
+    prompts = [rng.integers(3, args.vocab_size, size=n).tolist()
+               for n in (4, 7, 5)]
+    wants = [solo_stream(engine, p, 8) for p in prompts]
+
+    be = BatchEngine(engine, capacity=2)  # third request must queue
+    r0 = be.submit(prompts[0], 8)
+    be.step()
+    be.step()
+    r1 = be.submit(prompts[1], 8)
+    be.step()
+    r2 = be.submit(prompts[2], 8)
+    be.run_to_completion()
+    for req, want in zip([r0, r1, r2], wants):
+        assert req.done
+        assert req.generated == want, req.request_id
+
+
+def test_slot_reuse_is_clean(setup, rng):
+    """A slot freed by one request must not leak cache state into the next."""
+    args, weights, engine = setup
+    p1 = rng.integers(3, args.vocab_size, size=5).tolist()
+    p2 = rng.integers(3, args.vocab_size, size=5).tolist()
+    be = BatchEngine(engine, capacity=1)
+    r1 = be.submit(p1, 6)
+    r2 = be.submit(p2, 6)  # queued until r1 finishes
+    be.run_to_completion()
+    assert r1.done and r2.done
+    assert r2.generated == solo_stream(engine, p2, 6)
+
+
+def test_paged_matches_dense(setup, rng):
+    """Paged cache with on-demand page growth reproduces solo streams."""
+    args, weights, engine = setup
+    prompts = [rng.integers(3, args.vocab_size, size=n).tolist()
+               for n in (4, 9)]
+    wants = [solo_stream(engine, p, 10) for p in prompts]
+
+    be = BatchEngine(engine, capacity=2, paged=True, page_size=8)
+    r0 = be.submit(prompts[0], 10)
+    be.step()
+    r1 = be.submit(prompts[1], 10)
+    be.run_to_completion()
+    assert r0.generated == wants[0]
+    assert r1.generated == wants[1]
+
+
+def test_paged_page_reuse(setup, rng):
+    """Pages freed by finished requests are recycled; a tight pool that fits
+    only one active sequence still serves queued requests correctly."""
+    args, weights, engine = setup
+    p1 = rng.integers(3, args.vocab_size, size=6).tolist()
+    p2 = rng.integers(3, args.vocab_size, size=6).tolist()
+    # Enough pages for ~one active 16-token sequence at page_size 8.
+    be = BatchEngine(engine, capacity=1, paged=True, page_size=8, num_pages=4)
+    r1 = be.submit(p1, 8)
+    r2 = be.submit(p2, 8)
+    be.run_to_completion()
+    assert r1.generated == solo_stream(engine, p1, 8)
+    assert r2.generated == solo_stream(engine, p2, 8)
+    assert be.allocator.available == 3  # all pages returned
+
+
+def test_paged_pool_exhaustion(setup, rng):
+    args, weights, engine = setup
+    be = BatchEngine(engine, capacity=2, paged=True, page_size=8, num_pages=2)
+    import pytest as _pytest
+    with _pytest.raises(MemoryError):
+        be.submit(rng.integers(3, args.vocab_size, size=20).tolist(), 8)
+
+
+def test_max_seq_len_guard(setup):
+    args, weights, engine = setup
+    be = BatchEngine(engine, capacity=1)
+    with pytest.raises(ValueError):
+        be.submit(list(range(3, 3 + args.max_seq_len)), 10)
