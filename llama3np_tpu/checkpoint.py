@@ -110,13 +110,17 @@ def fuse_param_tree(params: Dict) -> Dict:
     sharding keeps the split weights (a contiguous Q|K|V concat axis does not
     shard head-wise)."""
     ly = params["layers"]
+    nl, d = ly["attn_norm"].shape
     fused = {
         "wqkv": np.concatenate([ly["wq"], ly["wk"], ly["wv"]], axis=-1),
         "wgu": np.concatenate([ly["w_gate"], ly["w_up"]], axis=-1),
         "wo": ly["wo"],
         "w_down": ly["w_down"],
-        "attn_norm": ly["attn_norm"],
-        "ffn_norm": ly["ffn_norm"],
+        # [NL, 1, D]: the Pallas decode kernel block-fetches one norm row per
+        # layer grid step (dynamic sublane indexing is not portable across
+        # dtypes on TPU); broadcasts identically in the XLA paths.
+        "attn_norm": np.reshape(ly["attn_norm"], (nl, 1, d)),
+        "ffn_norm": np.reshape(ly["ffn_norm"], (nl, 1, d)),
     }
     return {**params, "layers": fused}
 

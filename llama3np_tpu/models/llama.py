@@ -42,13 +42,16 @@ class StaticConfig(NamedTuple):
     unroll: int = 1       # layer-scan unroll factor
     rope_split: bool = False  # wq/wk permuted to split-halves RoPE layout
     kv_block: int = 512       # blockwise-attention block (0 = always dense)
+    flash_prefill: bool = False  # Pallas flash kernel for first-chunk prefill
 
     @classmethod
     def from_args(cls, args: ModelArgs, precision=None, fused=False,
                   unroll=1, rope_split=False) -> "StaticConfig":
+        flash = (args.attn_impl in ("auto", "pallas")
+                 and jax.default_backend() != "cpu")
         return cls(args.n_heads, args.kv_heads, args.head_dim, args.norm_eps,
                    precision, fused, unroll, rope_split,
-                   getattr(args, "prefill_kv_block", 512))
+                   getattr(args, "prefill_kv_block", 512), flash)
 
 
 def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
@@ -82,7 +85,12 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
     blockwise = (cfg.kv_block > 0 and L % cfg.kv_block == 0
                  and L >= 2 * cfg.kv_block)
     if first_chunk:
-        if blockwise:
+        flash_ok = (cfg.flash_prefill and L >= 8
+                    and L % min(256, L) == 0)
+        if flash_ok:
+            from ..ops.kernels.flash_prefill import flash_prefill
+            attn = flash_prefill(q, k, v)
+        elif blockwise:
             # Long prefill: flash-semantics accumulation bounds peak memory
             # at O(L * kv_block) instead of the O(L^2) dense score tensor.
             attn = ops.blockwise_causal_attention(
@@ -286,6 +294,10 @@ class Llama:
                                               rope_split=rope_split)
             self.params = jax.device_put(jax.tree.map(jnp.asarray, params))
             self._shard_cache = lambda c: c
+        self._finish_init()
+
+    def _finish_init(self):
+        args = self.args
         cos, sin = ops.rope_tables(args.head_dim, args.max_seq_len,
                                    args.rope_theta, jnp.float32)
         self.cos, self.sin = cos, sin
@@ -294,6 +306,32 @@ class Llama:
         self._gen = None  # built lazily by generate paths
         self._last_pos = None     # position of the last generated token
         self._last_tokens = None  # [B] last generated token per row
+
+    @classmethod
+    def from_sharded_checkpoint(cls, model_path: str, args: ModelArgs, mesh,
+                                precision: Optional[str] = None) -> "Llama":
+        """Build an engine by streaming a reference-schema .npz straight onto
+        the mesh — each device shard is read from the (lazy) file on demand,
+        so host memory peaks at one weight, not the whole checkpoint.  The
+        70B-class load path (SURVEY §7 hard-part 4)."""
+        from ..parallel.sharding import load_param_tree_sharded, shard_cache
+
+        self = cls.__new__(cls)
+        self.args = args.validate()
+        prec = {None: None, "default": None,
+                "highest": jax.lax.Precision.HIGHEST}[precision]
+        unroll = args.layer_unroll
+        if unroll is None:
+            unroll = args.n_layers if args.n_layers <= 16 else 1
+        # Streaming load skips the host-side rope permutation and matmul
+        # fusion (both are single-chip decode optimizations).
+        self.cfg = StaticConfig.from_args(args, prec, fused=False,
+                                          unroll=unroll, rope_split=False)
+        self.mesh = mesh
+        self.params = load_param_tree_sharded(model_path, args, mesh)
+        self._shard_cache = lambda c: shard_cache(c, mesh)
+        self._finish_init()
+        return self
 
     # -- cache --------------------------------------------------------------
 

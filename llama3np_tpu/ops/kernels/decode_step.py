@@ -66,9 +66,8 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
         x = x_out_ref[:].astype(jnp.float32)  # [1, D]
 
         # --- attention -----------------------------------------------------
-        attn_norm = attn_norm_ref[pl.ds(layer, 1), :]  # [1, D]
         xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-        xn = xn * attn_norm.astype(jnp.float32)
+        xn = xn * attn_norm_ref[:].astype(jnp.float32)
         qkv = jnp.dot(xn, wqkv_ref[:].astype(jnp.float32),
                       preferred_element_type=jnp.float32)  # [1, QD+2*KVD]
 
@@ -118,7 +117,7 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         # --- FFN -------------------------------------------------------------
         zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
-        zn = zn * ffn_norm_ref[pl.ds(layer, 1), :].astype(jnp.float32)
+        zn = zn * ffn_norm_ref[:].astype(jnp.float32)
         gu = jnp.dot(zn, wgu_ref[:].astype(jnp.float32),
                      preferred_element_type=jnp.float32)           # [1, 2*FD]
         fd = wdown_ref.shape[0]
@@ -166,8 +165,8 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
             pl.BlockSpec((None, qd, d), lambda l, sref: (l, 0, 0)),        # wo
             pl.BlockSpec((None, d, gfd), lambda l, sref: (l, 0, 0)),       # wgu
             pl.BlockSpec((None, fd, d), lambda l, sref: (l, 0, 0)),        # w_down
-            pl.BlockSpec((nl, d), lambda l, sref: (0, 0)),                 # attn_norm (full)
-            pl.BlockSpec((nl, d), lambda l, sref: (0, 0)),                 # ffn_norm (full)
+            pl.BlockSpec((None, 1, d), lambda l, sref: (l, 0, 0)),         # attn_norm [1,D]
+            pl.BlockSpec((None, 1, d), lambda l, sref: (l, 0, 0)),         # ffn_norm [1,D]
             pl.BlockSpec((1, hd // 2), lambda l, sref: (0, 0)),            # cos
             pl.BlockSpec((1, hd // 2), lambda l, sref: (0, 0)),            # sin
             pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # k in

@@ -118,3 +118,90 @@ def shard_params(params: Dict, mesh: Mesh, args: ModelArgs) -> Dict:
 def shard_cache(cache: Dict, mesh: Mesh) -> Dict:
     shardings = _named(mesh, cache_pspecs())
     return jax.tree.map(lambda x, s: jax.device_put(x, s), cache, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sharded checkpoint load (70B-class)
+# ---------------------------------------------------------------------------
+
+def load_param_tree_sharded(model_path: str, args: ModelArgs, mesh: Mesh,
+                            dtype=None) -> Dict:
+    """Load a reference-schema .npz directly onto the mesh without ever
+    materializing the full parameter tree on the host.
+
+    Each stacked leaf is created with `jax.make_array_from_callback`: the
+    callback receives a device's shard index and reads ONLY that slice from
+    the lazily-mmapped npz, so peak host memory is one shard (for a 70B
+    tensor-parallel load, ~weights/TP-degree per leaf instead of the whole
+    checkpoint — the host-OOM hazard SURVEY §7 hard-part 4 calls out).
+    """
+    import jax.numpy as jnp
+
+    validate_tp(args, mesh)
+    np_dtype = np.dtype(dtype or args.dtype)
+    npz = np.load(model_path)
+    specs = param_pspecs(args)
+
+    def leaf(shape, spec, read_slice):
+        sharding = NamedSharding(mesh, spec)
+
+        def cb(index):
+            return np.ascontiguousarray(read_slice(index), dtype=np_dtype)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    def stacked(fmt, transpose):
+        """Reader over the per-layer npz entries for one stacked weight."""
+        first = npz[fmt.format(i=0)]
+        base_shape = first.T.shape if transpose else first.shape
+        shape = (args.n_layers, *base_shape)
+
+        def read_slice(index):
+            layer_idx = index[0]
+            layers = range(*layer_idx.indices(args.n_layers))
+            parts = []
+            for i in layers:
+                w = npz[fmt.format(i=i)]
+                w = w.T if transpose else w
+                parts.append(np.asarray(w[index[1:]]))
+            return np.stack(parts)
+
+        return shape, read_slice
+
+    def plain(key, transpose=False):
+        def read_slice(index):
+            w = npz[key]
+            w = w.T if transpose else w
+            return np.asarray(w[index])
+
+        w = npz[key]
+        shape = w.shape[::-1] if transpose else w.shape
+        return shape, read_slice
+
+    layer_fmts = {
+        "wq": ("model.layers.{i}.self_attn.q_proj.weight", True),
+        "wk": ("model.layers.{i}.self_attn.k_proj.weight", True),
+        "wv": ("model.layers.{i}.self_attn.v_proj.weight", True),
+        "wo": ("model.layers.{i}.self_attn.o_proj.weight", True),
+        "w_gate": ("model.layers.{i}.mlp.gate_proj.weight", True),
+        "w_up": ("model.layers.{i}.mlp.up_proj.weight", True),
+        "w_down": ("model.layers.{i}.mlp.down_proj.weight", True),
+        "attn_norm": ("model.layers.{i}.input_layernorm.weight", False),
+        "ffn_norm": ("model.layers.{i}.post_attention_layernorm.weight", False),
+    }
+    layers = {}
+    for name, (fmt, transpose) in layer_fmts.items():
+        shape, rd = stacked(fmt, transpose)
+        layers[name] = leaf(shape, specs["layers"][name], rd)
+
+    emb_shape, emb_rd = plain("model.embed_tokens.weight")
+    norm_shape, norm_rd = plain("model.norm.weight")
+    head_key = ("lm_head.weight" if "lm_head.weight" in npz.files
+                else "model.embed_tokens.weight")
+    head_shape, head_rd = plain(head_key, transpose=True)
+    return {
+        "tok_embedding": leaf(emb_shape, specs["tok_embedding"], emb_rd),
+        "layers": layers,
+        "norm": leaf(norm_shape, specs["norm"], norm_rd),
+        "lm_head": leaf(head_shape, specs["lm_head"], head_rd),
+    }

@@ -33,6 +33,26 @@ def test_pallas_decode_matches_xla(name, rng):
     assert got == want
 
 
+@pytest.mark.parametrize("L,nh,kvh,hd,bq,bk", [
+    (32, 4, 2, 16, 16, 16),   # GQA, multiple blocks
+    (64, 2, 2, 32, 32, 16),   # MHA, asymmetric blocks
+    (16, 3, 1, 8, 16, 16),    # single block, MQA
+])
+def test_flash_prefill_matches_dense(rng, L, nh, kvh, hd, bq, bk):
+    from llama3np_tpu.ops.core import causal_attention
+    from llama3np_tpu.ops.kernels.flash_prefill import flash_prefill
+
+    B = 2
+    q = rng.standard_normal((B, L, nh, hd)).astype(np.float32)
+    k = rng.standard_normal((B, L, kvh, hd)).astype(np.float32)
+    v = rng.standard_normal((B, L, kvh, hd)).astype(np.float32)
+    got = flash_prefill(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        q_block=bq, kv_block=bk, interpret=True)
+    want = causal_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_pallas_layer_step_values(tiny_args, tiny_weights, rng):
     """Single decode step: kernel hidden state vs the XLA layer scan."""
     from llama3np_tpu.checkpoint import (build_param_tree, fuse_param_tree,

@@ -61,6 +61,28 @@ def test_sharded_generate_token_identity(shard_args, shard_weights, rng):
     assert got.tolist() == want.tolist()
 
 
+def test_streaming_sharded_load_matches_dense(tmp_path, shard_args,
+                                              shard_weights, rng):
+    """from_sharded_checkpoint (per-shard npz reads) must equal the in-memory
+    load path, including the forward pass."""
+    from llama3np_tpu import save_npz
+
+    path = str(tmp_path / "ckpt.npz")
+    save_npz(shard_weights, path)
+    mesh = make_mesh(2, 4)
+    streamed = Llama.from_sharded_checkpoint(path, shard_args, mesh)
+    dense = Llama(shard_weights, shard_args)
+    # Leaf equality (streamed arrays gather back to the host values).
+    np_wq = np.stack([
+        shard_weights[f"model.layers.{i}.self_attn.q_proj.weight"].T
+        for i in range(shard_args.n_layers)
+    ])
+    assert_allclose(np.asarray(streamed.params["layers"]["wq"]), np_wq)
+    # End-to-end forward parity.
+    ids = rng.integers(3, shard_args.vocab_size, size=(2, 7)).astype(np.int32)
+    assert_allclose(streamed(ids, 0), dense(ids, 0), rtol=RTOL, atol=ATOL)
+
+
 def test_param_layout(shard_args, shard_weights):
     mesh = make_mesh(2, 4)
     engine = Llama(shard_weights, shard_args, mesh=mesh)
