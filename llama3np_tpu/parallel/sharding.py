@@ -53,6 +53,35 @@ def mesh_from_args(args: ModelArgs, devices=None) -> Optional[Mesh]:
     return make_mesh(args.mesh_dp, args.mesh_tp, devices)
 
 
+def make_multihost_mesh(dp: int = 1, tp: int = 1) -> Mesh:
+    """Multi-host mesh: tensor parallelism stays within each host's ICI
+    domain and data parallelism spans hosts over DCN (the layout the 70B
+    config wants — collectives after o_proj/down_proj ride ICI; only
+    gradient/batch traffic crosses DCN).
+
+    Uses `mesh_utils.create_hybrid_device_mesh` when the process set is
+    actually multi-host; degenerates to the flat mesh on one host (so the
+    same code path is testable on a virtual single-host mesh).
+    """
+    import jax
+    from jax.experimental import mesh_utils
+
+    n_hosts = jax.process_count()
+    if n_hosts <= 1:
+        return make_mesh(dp, tp)
+    per_host = jax.local_device_count()
+    if tp > per_host:
+        raise ValueError(
+            f"tp={tp} exceeds local devices ({per_host}); "
+            f"TP must stay inside one host's ICI domain"
+        )
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(dp // n_hosts, tp),
+        dcn_mesh_shape=(n_hosts, 1),
+    )
+    return Mesh(devices, axis_names=("dp", "tp"))
+
+
 def param_pspecs(args: ModelArgs) -> Dict:
     """PartitionSpec tree matching checkpoint.build_param_tree's structure."""
     return {

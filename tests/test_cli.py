@@ -36,6 +36,27 @@ def test_extended_cli_synthetic(capsys, tmp_path):
     assert rec["preset"] == "test-tiny"
 
 
+def test_functional_api_shim(tiny_args, tiny_weights, tmp_path, rng):
+    """Root llama3_simple.py exposes the reference functional twin's API and
+    count semantics (up to max_new_tokens NEW tokens)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from llama3np_tpu import save_npz
+    import llama3_simple as fn
+
+    path = str(tmp_path / "m.npz")
+    save_npz(tiny_weights, path)
+    model = fn.llama_init(path, tiny_args)
+    ids = rng.integers(3, tiny_args.vocab_size, size=(1, 4)).astype(np.int32)
+    logits = fn.llama_forward(model, ids, 0)
+    assert logits.shape == (1, 1, tiny_args.vocab_size)
+    toks = list(fn.llama_generate(model, ids, 7))
+    assert len(toks) == 7
+    assert all(t.shape == (1, 1) for t in toks)
+    # First yielded token == argmax of the prefill logits.
+    assert int(toks[0][0, 0]) == int(logits[0, -1].argmax())
+
+
 def test_timed_generate_matches_generate_tokens(tiny_args, tiny_weights, rng):
     from llama3np_tpu.models.llama import Llama
     from llama3np_tpu.observability import timed_generate
