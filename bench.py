@@ -39,6 +39,9 @@ def main():
     ids = np.array([PROMPT], np.int32)
 
     # --- parity gate (greedy stream vs NumPy oracle) -----------------------
+    # Warm the generator first so a parity-path failure can't leave the
+    # measurement without a compiled engine.
+    engine.generate_tokens(ids, 1)
     try:
         oracle = NumpyLlama(build_param_tree(weights, args), args)
         n_check = 32

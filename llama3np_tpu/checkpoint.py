@@ -259,11 +259,22 @@ def convert_llama2c_bin(bin_path: str, out_path: Optional[str] = None):
     return weights, args
 
 
-def convert_hf_model(model_dir: str, out_path: Optional[str] = None):
+def convert_hf_model(model_dir: str, out_path: Optional[str] = None,
+                     permute_rope: bool = True):
     """Convert a HuggingFace Llama-family checkpoint directory (safetensors or
     torch .bin) to the reference .npz schema.  Requires `safetensors` or
     `torch`; both are probed lazily so the core framework stays stdlib+numpy+jax.
+
+    HF checkpoints store q_proj/k_proj rows pre-permuted for rotate-half
+    (split-halves) RoPE; the reference schema — and this framework's loaders —
+    expect Meta's interleaved pairing (reference llama3.py:48-58).  With
+    `permute_rope` (default), the inverse permutation is applied per head so
+    attention is numerically correct after conversion; pass False only for
+    checkpoints already in interleaved layout.  Head counts come from the
+    directory's config.json.
     """
+    import json
+
     weights: Dict[str, np.ndarray] = {}
     st_files = sorted(
         f for f in os.listdir(model_dir) if f.endswith(".safetensors")
@@ -280,6 +291,35 @@ def convert_hf_model(model_dir: str, out_path: Optional[str] = None):
         for fname in bins:
             sd = torch.load(os.path.join(model_dir, fname), map_location="cpu", weights_only=True)
             weights.update({k: v.float().numpy() for k, v in sd.items()})
+
+    if permute_rope:
+        from .ops.core import rope_split_permutation
+
+        cfg_path = os.path.join(model_dir, "config.json")
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(
+                "config.json required to undo the HF rotate-half layout "
+                "(pass permute_rope=False for interleaved checkpoints)"
+            )
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        n_heads = cfg["num_attention_heads"]
+        kv_heads = cfg.get("num_key_value_heads", n_heads)
+        head_dim = cfg.get("head_dim", cfg["hidden_size"] // n_heads)
+
+        def inverse(perm):
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.size)
+            return inv
+
+        q_inv = inverse(rope_split_permutation(n_heads, head_dim))
+        k_inv = inverse(rope_split_permutation(kv_heads, head_dim))
+        for key in list(weights):
+            if key.endswith("self_attn.q_proj.weight"):
+                weights[key] = np.asarray(weights[key])[q_inv]
+            elif key.endswith("self_attn.k_proj.weight"):
+                weights[key] = np.asarray(weights[key])[k_inv]
+
     if out_path:
         save_npz(weights, out_path)
     return weights

@@ -87,8 +87,10 @@ class ModelArgs:
         return self.n_heads // self.kv_heads
 
     def validate(self) -> "ModelArgs":
-        assert self.dim % self.n_heads == 0, "dim must divide n_heads"
-        assert self.n_heads % self.kv_heads == 0, "n_heads must divide kv_heads (GQA)"
+        assert self.dim % self.n_heads == 0, \
+            f"n_heads ({self.n_heads}) must divide dim ({self.dim})"
+        assert self.n_heads % self.kv_heads == 0, \
+            f"kv_heads ({self.kv_heads}) must divide n_heads ({self.n_heads}) (GQA)"
         return self
 
     def replace(self, **kw) -> "ModelArgs":

@@ -111,6 +111,24 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+def pad_prompt(input_ids: np.ndarray, args) -> Tuple[np.ndarray, int]:
+    """Pad a host prompt [B, L] to its static prefill bucket.
+
+    The single source of the bucketing rule (used by the Generator, the
+    timed benchmark path, and the serving engine): smallest configured
+    bucket >= L, never below L, never above max_seq_len.
+    Returns (padded [B, P] int32, true length L).
+    """
+    ids = np.asarray(input_ids)
+    B, L = ids.shape
+    buckets = [b for b in args.prefill_buckets if b <= args.max_seq_len] \
+        or [args.max_seq_len]
+    P = max(_bucket(L, buckets), L)
+    padded = np.zeros((B, P), np.int32)
+    padded[:, :L] = ids
+    return padded, L
+
+
 DECODE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
@@ -190,12 +208,7 @@ class Generator:
         if num_tokens == 0:
             return jnp.zeros((B, 0), jnp.int32), cache
 
-        buckets = [b for b in self.args.prefill_buckets if b <= M] or [M]
-        P = min(_bucket(L, buckets), M)
-        if P < L:
-            P = L
-        padded = np.zeros((B, P), np.int32)
-        padded[:, :L] = input_ids
+        padded, L = pad_prompt(input_ids, self.args)
         tok0, cache = self._prefill(params, jnp.asarray(padded),
                                     jnp.int32(L), cache, eng.cos, eng.sin)
         if num_tokens == 1:

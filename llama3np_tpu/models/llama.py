@@ -85,8 +85,11 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
     blockwise = (cfg.kv_block > 0 and L % cfg.kv_block == 0
                  and L >= 2 * cfg.kv_block)
     if first_chunk:
-        flash_ok = (cfg.flash_prefill and L >= 8
-                    and L % min(256, L) == 0)
+        # Bucketed prompt lengths (16, 32, ... powers of two) all qualify;
+        # arbitrary unbucketed lengths from direct __call__ use fall back to
+        # the XLA paths rather than exercise untested Mosaic block shapes.
+        flash_ok = (cfg.flash_prefill and L >= 16 and L % 16 == 0
+                    and (L <= 256 or L % 256 == 0))
         if flash_ok:
             from ..ops.kernels.flash_prefill import flash_prefill
             attn = flash_prefill(q, k, v)
@@ -250,6 +253,26 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
                      preferred_element_type=jnp.float32)
     return logits, {"k": ck_new, "v": cv_new}
+
+
+def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
+                        cfg: StaticConfig, num_steps: int, block_table=None):
+    """`num_steps` ragged decode steps as one lax.scan (the serving decode
+    quantum — amortizes per-dispatch latency across tokens).
+
+    Returns (tokens [B, num_steps], cache).  Paged mode requires the block
+    tables to already cover positions pos .. pos + num_steps - 1.
+    """
+    def step(carry, _):
+        tok, p, cache = carry
+        logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
+                                              cfg, block_table)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, p + 1, cache), nxt
+
+    (_, _, cache), toks = jax.lax.scan(step, (tokens, pos, cache),
+                                       length=num_steps)
+    return toks.T, cache
 
 
 # ---------------------------------------------------------------------------

@@ -75,12 +75,11 @@ def timed_generate(engine, input_ids, num_tokens: int) -> tuple:
     cache = engine.init_cache(B)
     jax.block_until_ready(cache["k"])
     stats = GenerationStats(prompt_tokens=L, generated_tokens=num_tokens)
+    if num_tokens == 0:
+        return jnp.zeros((B, 0), jnp.int32), stats
 
-    buckets = [b for b in engine.args.prefill_buckets
-               if b <= engine.args.max_seq_len] or [engine.args.max_seq_len]
-    P = max(L, min(b for b in buckets if b >= L) if any(b >= L for b in buckets) else L)
-    padded = np.zeros((B, P), np.int32)
-    padded[:, :L] = ids
+    from .generate import pad_prompt
+    padded, L = pad_prompt(ids, engine.args)
 
     t0 = time.perf_counter()
     tok0, cache = gen._prefill(engine.params, jnp.asarray(padded),
@@ -88,7 +87,7 @@ def timed_generate(engine, input_ids, num_tokens: int) -> tuple:
     jax.block_until_ready(tok0)
     stats.prefill_s = time.perf_counter() - t0
 
-    if num_tokens <= 1:
+    if num_tokens == 1:
         return tok0[:, None], stats
     t0 = time.perf_counter()
     toks, cache = gen.decode_fn(num_tokens - 1, B)(

@@ -68,7 +68,8 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
         # --- attention -----------------------------------------------------
         xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
         xn = xn * attn_norm_ref[:].astype(jnp.float32)
-        qkv = jnp.dot(xn, wqkv_ref[:].astype(jnp.float32),
+        w_qkv = wqkv_ref[:]
+        qkv = jnp.dot(xn.astype(w_qkv.dtype), w_qkv,
                       preferred_element_type=jnp.float32)  # [1, QD+2*KVD]
 
         cos = cos_ref[:]  # [1, HD//2]
@@ -112,18 +113,21 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
                     jnp.dot(probs, vs, preferred_element_type=jnp.float32)
                 )                                                  # [1, HD]
         attn = jnp.concatenate(attn_heads, axis=-1)                # [1, QD]
-        h = x + jnp.dot(attn, wo_ref[:].astype(jnp.float32),
+        w_o = wo_ref[:]
+        h = x + jnp.dot(attn.astype(w_o.dtype), w_o,
                         preferred_element_type=jnp.float32)
 
         # --- FFN -------------------------------------------------------------
         zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
         zn = zn * ffn_norm_ref[:].astype(jnp.float32)
-        gu = jnp.dot(zn, wgu_ref[:].astype(jnp.float32),
+        w_gu = wgu_ref[:]
+        gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
                      preferred_element_type=jnp.float32)           # [1, 2*FD]
         fd = wdown_ref.shape[0]
         gate = gu[:, :fd]
         ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fd:]
-        h = h + jnp.dot(ff, wdown_ref[:].astype(jnp.float32),
+        w_dn = wdown_ref[:]
+        h = h + jnp.dot(ff.astype(w_dn.dtype), w_dn,
                         preferred_element_type=jnp.float32)
 
         x_out_ref[:] = h.astype(x_out_ref.dtype)

@@ -75,6 +75,16 @@ def make_multihost_mesh(dp: int = 1, tp: int = 1) -> Mesh:
             f"tp={tp} exceeds local devices ({per_host}); "
             f"TP must stay inside one host's ICI domain"
         )
+    if dp % n_hosts:
+        raise ValueError(
+            f"dp={dp} must be a multiple of the host count ({n_hosts}): "
+            f"data parallelism is what spans hosts over DCN"
+        )
+    if (dp // n_hosts) * tp != per_host:
+        raise ValueError(
+            f"per-host mesh ({dp // n_hosts} x {tp}) must cover the "
+            f"{per_host} local devices"
+        )
     devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(dp // n_hosts, tp),
         dcn_mesh_shape=(n_hosts, 1),

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .generate import prefill_step
-from .models.llama import forward_ragged_decode
+from .models.llama import forward_ragged_decode, ragged_decode_steps
 
 
 @dataclasses.dataclass
@@ -85,6 +85,15 @@ class BatchEngine:
         self._prefill = jax.jit(partial(prefill_step, cfg=self.cfg))
         self._step = jax.jit(partial(forward_ragged_decode, cfg=self.cfg),
                              donate_argnums=(3,))
+        self._step_n = {}  # quantum -> jitted multi-step scan
+
+    def _step_n_fn(self, n: int):
+        if n not in self._step_n:
+            self._step_n[n] = jax.jit(
+                partial(ragged_decode_steps, cfg=self.cfg, num_steps=n),
+                donate_argnums=(3,),
+            )
+        return self._step_n[n]
 
     # -- admission -----------------------------------------------------------
 
@@ -92,6 +101,21 @@ class BatchEngine:
                stop_ids=(1, 2)) -> Request:
         req = Request(next(self._ids), list(prompt_ids), max_new_tokens,
                       tuple(stop_ids))
+        # Validate at submission: a bad request must fail here, not blow up
+        # a later step() when it finally gets admitted from the queue.
+        if len(req.prompt_ids) + req.max_new_tokens > self.args.max_seq_len:
+            raise ValueError(
+                f"request exceeds max_seq_len: prompt {len(req.prompt_ids)} "
+                f"+ max_new_tokens {req.max_new_tokens} > {self.args.max_seq_len}"
+            )
+        if self.paged:
+            worst_pages = -(-(len(req.prompt_ids) + req.max_new_tokens)
+                            // self.page_size)
+            if worst_pages > self.allocator.num_pages - 1:
+                raise MemoryError(
+                    f"request needs up to {worst_pages} pages; pool has "
+                    f"{self.allocator.num_pages - 1}"
+                )
         self._queue.append(req)
         self._admit()
         return req
@@ -103,20 +127,13 @@ class BatchEngine:
             if self.slots[slot] is not None:
                 continue
             req = self._queue.pop(0)
-            L = len(req.prompt_ids)
-            if L + req.max_new_tokens > self.args.max_seq_len:
-                raise ValueError("request exceeds max_seq_len")
             self._prefill_into(slot, req)
 
     def _prefill_into(self, slot: int, req: Request):
         eng = self.engine
-        L = len(req.prompt_ids)
-        buckets = [b for b in self.args.prefill_buckets
-                   if b <= self.args.max_seq_len]
-        P = next((b for b in buckets if b >= L), self.args.max_seq_len)
-        P = max(P, L)
-        padded = np.zeros((1, P), np.int32)
-        padded[0, :L] = req.prompt_ids
+        from .generate import pad_prompt
+        padded, L = pad_prompt(np.asarray([req.prompt_ids], np.int32),
+                               self.args)
         from .kvcache import init_cache
         row_cache = init_cache(self.args, 1)
         tok0, row_cache = self._prefill(eng.params, jnp.asarray(padded),
@@ -124,22 +141,25 @@ class BatchEngine:
                                         eng.cos, eng.sin)
         if self.paged:
             # Allocate pages covering the prompt plus tok0's upcoming write,
-            # then scatter the dense prefill rows page by page.
+            # then scatter the dense prefill rows in ONE batched update
+            # (per-page .at[].set() would copy the whole pool per page).
             page = self.page_size
             n_needed = -(-(L + 1) // page)
             pages = self.allocator.alloc(n_needed)
             self._pages[slot] = pages
             self.block_tables[slot] = 0
             self.block_tables[slot, :n_needed] = pages
-            kp, vp = self.cache["k"], self.cache["v"]
-            for i, pid in enumerate(pages):
-                lo = i * page
-                # [NL, KVH, page, HD] -> [NL, page, KVH, HD]
-                k_rows = row_cache["k"][:, 0, :, lo : lo + page].transpose(0, 2, 1, 3)
-                v_rows = row_cache["v"][:, 0, :, lo : lo + page].transpose(0, 2, 1, 3)
-                kp = kp.at[:, pid].set(k_rows)
-                vp = vp.at[:, pid].set(v_rows)
-            self.cache = {"k": kp, "v": vp}
+            span = n_needed * page
+            # [NL, KVH, span, HD] -> [NL, n_pages, page, KVH, HD]
+            def rows(cache_rows):
+                nl, kvh, _, hd = cache_rows.shape
+                r = cache_rows[:, :, :span].transpose(0, 2, 1, 3)
+                return r.reshape(nl, n_needed, page, kvh, hd)
+            idx = jnp.asarray(pages)
+            self.cache = {
+                "k": self.cache["k"].at[:, idx].set(rows(row_cache["k"][:, 0])),
+                "v": self.cache["v"].at[:, idx].set(rows(row_cache["v"][:, 0])),
+            }
         else:
             # Scatter the prefilled rows into this slot.
             self.cache = {
@@ -160,13 +180,16 @@ class BatchEngine:
     def num_active(self) -> int:
         return sum(r is not None for r in self.slots)
 
-    def _ensure_pages(self):
-        """Grow any active row whose next write crosses into an unallocated
-        page (the write this step lands at pos[slot])."""
+    def _ensure_pages(self, horizon: int = 1):
+        """Grow any active row whose writes within the next `horizon` steps
+        cross into unallocated pages (writes land at pos .. pos+horizon-1)."""
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            need = self.pos[slot] // self.page_size
+            need = (self.pos[slot] + horizon - 1) // self.page_size
+            # Quantum overrun past max_seq_len clamps into the row's last
+            # page; those slots are never attended (see step() docstring).
+            need = min(need, self.max_pages - 1)
             have = len(self._pages[slot])
             while have <= need:
                 (pid,) = self.allocator.alloc(1)
@@ -174,36 +197,45 @@ class BatchEngine:
                 self.block_tables[slot, have] = pid
                 have += 1
 
-    def step(self) -> List[Request]:
-        """Decode one token for every active slot; returns requests finished
-        on this step."""
+    def step(self, quantum: int = 1) -> List[Request]:
+        """Decode up to `quantum` tokens for every active slot in one device
+        dispatch; returns requests finished during the quantum.
+
+        quantum > 1 amortizes per-dispatch latency; requests that hit a stop
+        condition mid-quantum discard their tail tokens (the slot's extra
+        cache writes are harmless — they are overwritten before ever being
+        attended when the slot is re-admitted)."""
         if self.num_active == 0:
             return []
+        kwargs = {}
         if self.paged:
-            self._ensure_pages()
+            self._ensure_pages(quantum)
+            kwargs["block_table"] = jnp.asarray(self.block_tables)
+        if quantum == 1:
             logits, self.cache = self._step(
                 self.engine.params, jnp.asarray(self.tokens),
                 jnp.asarray(self.pos), self.cache,
-                self.engine.cos, self.engine.sin,
-                block_table=jnp.asarray(self.block_tables),
+                self.engine.cos, self.engine.sin, **kwargs,
             )
+            toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)[:, None]
         else:
-            logits, self.cache = self._step(
+            toks, self.cache = self._step_n_fn(quantum)(
                 self.engine.params, jnp.asarray(self.tokens),
                 jnp.asarray(self.pos), self.cache,
-                self.engine.cos, self.engine.sin,
+                self.engine.cos, self.engine.sin, **kwargs,
             )
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+            toks = np.asarray(toks, np.int32)  # [B, quantum]
         finished = []
         for slot, req in enumerate(self.slots):
             if req is None or req.done:
                 continue
-            tok = int(nxt[slot])
-            req.generated.append(tok)
-            self.tokens[slot] = tok
-            self.pos[slot] += 1
-            if self._maybe_finish(req, tok):
-                finished.append(req)
+            for tok in map(int, toks[slot]):
+                req.generated.append(tok)
+                self.tokens[slot] = tok
+                self.pos[slot] += 1
+                if self._maybe_finish(req, tok):
+                    finished.append(req)
+                    break
         self._admit()
         return finished
 

@@ -141,7 +141,15 @@ def convert_llama2c_tokenizer(bin_path: str, out_path: str) -> str:
             if len(head) < 8:
                 break
             score, length = struct.unpack("<fi", head)
-            tokens.append(f.read(length).decode("utf-8", errors="replace"))
+            raw = f.read(length)
+            try:
+                piece = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                # llama2.c byte-fallback tokens are raw bytes 0x80-0xFF;
+                # the published JSON vocab maps them latin-1-style to
+                # U+0080-U+00FF (verified against tokenizer.model.np).
+                piece = raw.decode("latin-1")
+            tokens.append(piece)
             scores.append(float(score))
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump({"tokens": tokens, "scores": scores}, f, ensure_ascii=False)

@@ -115,6 +115,63 @@ def test_llama2c_tokenizer_converter(tmp_path):
     assert tok.encode("é", add_bos=False) == [7]
 
 
+def test_llama2c_tokenizer_byte_fallback(tmp_path):
+    """Raw byte-fallback tokens (invalid standalone UTF-8) must map to the
+    published vocab's latin-1 convention, not U+FFFD duplicates."""
+    import struct
+    from llama3np_tpu.tokenizer import convert_llama2c_tokenizer
+    import json as _json
+
+    entries = [("<unk>", 0.0), ("<s>", 0.0), ("</s>", 0.0),
+               (b"\x80", -1.0), (b"\xfe", -2.0), ("ok", -3.0)]
+    bin_path = tmp_path / "tok.bin"
+    with open(bin_path, "wb") as f:
+        f.write(struct.pack("<i", 8))
+        for tok, score in entries:
+            data = tok if isinstance(tok, bytes) else tok.encode()
+            f.write(struct.pack("<fi", score, len(data)))
+            f.write(data)
+    out = convert_llama2c_tokenizer(str(bin_path), str(tmp_path / "t.json"))
+    toks = _json.load(open(out))["tokens"]
+    assert toks[3] == "\x80" and toks[4] == "\xfe"
+    assert len(set(toks)) == len(toks)  # no U+FFFD collapse
+
+
+def test_hf_converter_undoes_rotate_half(tmp_path, tiny_args, tiny_weights, rng):
+    """Converting an HF-layout checkpoint (rotate-half q/k rows) must recover
+    the interleaved weights exactly."""
+    torch = pytest.importorskip("torch")
+    import json as _json
+    from llama3np_tpu.checkpoint import convert_hf_model
+    from llama3np_tpu.ops.core import rope_split_permutation
+
+    a = tiny_args
+    # Build a fake HF export: permute q/k rows to split-halves layout.
+    q_perm = rope_split_permutation(a.n_heads, a.head_dim)
+    k_perm = rope_split_permutation(a.kv_heads, a.head_dim)
+    hf = {}
+    for key, w in tiny_weights.items():
+        w = np.asarray(w)
+        if key.endswith("self_attn.q_proj.weight"):
+            w = w[q_perm]
+        elif key.endswith("self_attn.k_proj.weight"):
+            w = w[k_perm]
+        hf[key] = w
+    model_dir = tmp_path / "hfmodel"
+    model_dir.mkdir()
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in hf.items()},
+               str(model_dir / "pytorch_model.bin"))
+    (model_dir / "config.json").write_text(_json.dumps({
+        "num_attention_heads": a.n_heads,
+        "num_key_value_heads": a.kv_heads,
+        "hidden_size": a.dim,
+    }))
+
+    got = convert_hf_model(str(model_dir))
+    for key in tiny_weights:
+        assert_allclose(got[key], tiny_weights[key], err_msg=key)
+
+
 def test_generation_resume(tmp_path, tiny_args, tiny_weights, rng):
     """Resume from a saved (cache, pos, last token) must continue the exact
     stream an uninterrupted generation produces."""

@@ -71,6 +71,29 @@ def test_slot_reuse_is_clean(setup, rng):
     assert r2.generated == solo_stream(engine, p2, 6)
 
 
+@pytest.mark.parametrize("quantum,paged", [(4, False), (3, True)])
+def test_quantum_steps_match_solo(setup, rng, quantum, paged):
+    """Multi-token decode quanta must not change any request's stream, even
+    with staggered admissions and mid-quantum finishes."""
+    args, weights, engine = setup
+    prompts = [rng.integers(3, args.vocab_size, size=n).tolist()
+               for n in (4, 6, 5)]
+    wants = [solo_stream(engine, p, 9) for p in prompts]
+    kw = dict(paged=True, page_size=8) if paged else {}
+    be = BatchEngine(engine, capacity=2, **kw)
+    r0 = be.submit(prompts[0], 9)
+    be.step(quantum)
+    r1 = be.submit(prompts[1], 9)
+    be.step(quantum)
+    r2 = be.submit(prompts[2], 9)
+    for _ in range(40):
+        if be.num_active == 0 and not be._queue:
+            break
+        be.step(quantum)
+    for req, want in zip([r0, r1, r2], wants):
+        assert req.done and req.generated == want, req.request_id
+
+
 def test_paged_matches_dense(setup, rng):
     """Paged cache with on-demand page growth reproduces solo streams."""
     args, weights, engine = setup
@@ -116,3 +139,15 @@ def test_max_seq_len_guard(setup):
     be = BatchEngine(engine, capacity=1)
     with pytest.raises(ValueError):
         be.submit(list(range(3, 3 + args.max_seq_len)), 10)
+
+
+def test_oversized_request_rejected_at_submit_while_busy(setup, rng):
+    """Validation fires at submit() even when no slot is free, so a bad
+    request can never detonate inside a later step()."""
+    args, weights, engine = setup
+    be = BatchEngine(engine, capacity=1)
+    ok = be.submit(rng.integers(3, args.vocab_size, size=4).tolist(), 6)
+    with pytest.raises(ValueError):
+        be.submit(list(range(3, 3 + args.max_seq_len)), 10)
+    be.run_to_completion()
+    assert ok.done and len(ok.generated) == 6
