@@ -32,7 +32,7 @@ def main():
     from llama3np_tpu.models.llama import Llama
     import jax
 
-    args = preset("stories15M", max_seq_len=1024)
+    args = preset("stories15M", max_seq_len=1024, decode_token_unroll=4)
     weights = synthetic_weights(args, seed=0)
     engine = Llama(weights, args)
     gen_tokens = DECODE_TOKENS
@@ -70,18 +70,18 @@ def main():
     decode = gen.decode_fn(gen_tokens, 1)
     toks, cache2 = decode(engine.params, tok0, np.int32(len(PROMPT)), cache,
                           engine.cos, engine.sin)
-    jax.block_until_ready(toks)
+    np.asarray(toks)
 
     # --- timed: prefill ----------------------------------------------------
     prefill_times = []
     for _ in range(10):
         cache = engine.init_cache(1)
-        jax.block_until_ready(cache["k"])
+        np.asarray(cache["k"][0, 0, 0, :1])
         t0 = time.perf_counter()
         tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
                                    np.int32(len(PROMPT)), cache,
                                    engine.cos, engine.sin)
-        jax.block_until_ready(tok0)
+        np.asarray(tok0)  # host transfer: reliable sync on this platform
         prefill_times.append(time.perf_counter() - t0)
     prefill_ms = min(prefill_times) * 1e3
 
@@ -92,11 +92,11 @@ def main():
         tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
                                    np.int32(len(PROMPT)), cache,
                                    engine.cos, engine.sin)
-        jax.block_until_ready(tok0)
+        np.asarray(tok0)
         t0 = time.perf_counter()
         toks, cache = decode(engine.params, tok0, np.int32(len(PROMPT)), cache,
                              engine.cos, engine.sin)
-        jax.block_until_ready(toks)
+        np.asarray(toks)  # host transfer: reliable sync on this platform
         dt = time.perf_counter() - t0
         rates.append(gen_tokens / dt)
     value = max(rates)

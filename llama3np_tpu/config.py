@@ -64,6 +64,9 @@ class ModelArgs:
     # >= 2 blocks accumulate over KV blocks instead of materializing the
     # dense score tensor.  0 disables.
     prefill_kv_block: int = 512
+    # Token-scan unroll in the decode loop (amortizes while-loop overhead;
+    # measured ~+10% on stories110M at 4, at extra compile time).
+    decode_token_unroll: int = 1
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

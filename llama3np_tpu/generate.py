@@ -52,11 +52,13 @@ def prefill_step(params, ids_padded, true_len, cache, cos, sin,
 
 
 def decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
-                 num_steps: int):
+                 num_steps: int, token_unroll: int = 1):
     """Greedy-decode `num_steps` tokens starting from `tok` at `pos`.
 
     Returns (tokens [B, num_steps], updated cache).  tokens[:, 0] is the
     argmax successor of `tok`; `tok`'s own K/V is written at slot `pos`.
+    `token_unroll` unrolls the scan body (amortizes while-loop overhead at
+    the cost of compile time; the step dependence chain is unchanged).
     """
     def step(carry, _):
         tok, pos, cache = carry
@@ -66,13 +68,15 @@ def decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
         return (nxt, pos + 1, cache), nxt
 
     (_, _, cache), toks = jax.lax.scan(
-        step, (tok, pos, cache), length=num_steps
+        step, (tok, pos, cache), length=num_steps,
+        unroll=token_unroll if num_steps % token_unroll == 0 else 1,
     )
     return toks.T, cache  # [B, num_steps]
 
 
 def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
-                        num_steps: int, interpret: bool = False):
+                        num_steps: int, interpret: bool = False,
+                        token_unroll: int = 1):
     """`decode_steps` with the whole per-token layer stack fused into one
     Pallas kernel (ops.kernels.decode_step).  Batch-1 only; params must be in
     fused + rope-split layout (the single-chip engine default)."""
@@ -98,8 +102,10 @@ def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [1]
         return (nxt, pos + 1, kc, vc), nxt
 
-    (_, _, kc, vc), toks = jax.lax.scan(step, (tok, pos, kc, vc),
-                                        length=num_steps)
+    (_, _, kc, vc), toks = jax.lax.scan(
+        step, (tok, pos, kc, vc), length=num_steps,
+        unroll=token_unroll if num_steps % token_unroll == 0 else 1,
+    )
     cache = {"k": kc[:, None], "v": vc[:, None]}
     return toks.T, cache  # [1, num_steps]
 
@@ -182,12 +188,15 @@ class Generator:
     def decode_fn(self, num_steps: int, batch: int = 1):
         key = (num_steps, batch)
         if key not in self._decode:
+            unroll = getattr(self.args, "decode_token_unroll", 1)
             if self._use_pallas(batch):
                 interpret = jax.default_backend() == "cpu"
                 fn = partial(pallas_decode_steps, cfg=self.cfg,
-                             num_steps=num_steps, interpret=interpret)
+                             num_steps=num_steps, interpret=interpret,
+                             token_unroll=unroll)
             else:
-                fn = partial(decode_steps, cfg=self.cfg, num_steps=num_steps)
+                fn = partial(decode_steps, cfg=self.cfg, num_steps=num_steps,
+                             token_unroll=unroll)
             self._decode[key] = jax.jit(fn, donate_argnums=(3,))
         return self._decode[key]
 

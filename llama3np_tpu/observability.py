@@ -115,6 +115,27 @@ def trace(logdir: str = "/tmp/llama3np_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+@contextlib.contextmanager
+def debug_mode(nans: bool = True, checks: bool = True):
+    """Numerics-sanitizer context: raise on NaNs/Infs escaping jitted
+    computations and enable JAX's internal checks.  The single-threaded
+    reference needs no TSan analog (SURVEY §5); this is the TPU-native
+    equivalent for numeric races/garbage (e.g. reading unwritten cache)."""
+    import jax
+
+    prev_nans = jax.config.jax_debug_nans
+    prev_checks = jax.config.jax_enable_checks
+    try:
+        if nans:
+            jax.config.update("jax_debug_nans", True)
+        if checks:
+            jax.config.update("jax_enable_checks", True)
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev_nans)
+        jax.config.update("jax_enable_checks", prev_checks)
+
+
 # ---------------------------------------------------------------------------
 # Run log (JSONL)
 # ---------------------------------------------------------------------------

@@ -69,6 +69,23 @@ def test_timed_generate_matches_generate_tokens(tiny_args, tiny_weights, rng):
     assert stats.prompt_tokens == 4 and stats.generated_tokens == 8
 
 
+def test_debug_mode_catches_nans(tiny_args, tiny_weights):
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from llama3np_tpu.observability import debug_mode
+    import jax
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x)  # log(0) -> -inf is fine; log(-1) -> nan
+
+    with debug_mode():
+        with _pytest.raises(Exception):
+            np.asarray(bad(jnp.array([-1.0])))
+    # Config restored afterwards.
+    assert not jax.config.jax_debug_nans
+
+
 def test_debug_trace_forward(tiny_args, tiny_weights, rng):
     from llama3np_tpu.models.llama import Llama
     from llama3np_tpu.observability import debug_trace_forward

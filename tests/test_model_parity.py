@@ -155,6 +155,26 @@ def test_padded_prefill_matches_exact(model_pair, rng):
     assert got == want
 
 
+# Committed golden streams (synthetic seed 7, prompt [3, 11, 42, 7]) pin the
+# numerics across refactors — unlike the live oracle comparison, these catch
+# the engine and oracle drifting together (SURVEY §4 "golden-token tests").
+GOLDEN_STREAMS = {
+    "test-tiny": [342, 342, 342, 159, 239, 239, 239, 239, 239, 288, 293, 491],
+    "test-tiny-mha": [144, 188, 244, 135, 216, 62, 74, 169, 119, 60, 114, 224],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_STREAMS))
+def test_golden_token_streams(name):
+    from llama3np_tpu import preset, synthetic_weights
+
+    args = preset(name)
+    eng = Llama(synthetic_weights(args, seed=7), args)
+    ids = np.array([[3, 11, 42, 7]], np.int32)
+    got = np.asarray(eng.generate_tokens(ids, 12))[0].tolist()
+    assert got == GOLDEN_STREAMS[name]
+
+
 def test_batch_generation(tiny_args, tiny_weights, rng):
     """Batched decode: each row matches its own single-row generation."""
     args = tiny_args.replace(max_batch_size=3)
