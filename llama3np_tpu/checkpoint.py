@@ -103,19 +103,39 @@ def permute_rope_layout(params: Dict, args: ModelArgs) -> Dict:
     return {**params, "layers": ly}
 
 
-def fuse_param_tree(params: Dict) -> Dict:
+def fuse_param_tree(params: Dict, ffn_block: int = 0) -> Dict:
     """Fuse per-layer Q/K/V into one [NL, D, QD+2*KVD] weight and gate/up into
     one [NL, D, 2*FD] weight (single matmul each at decode time — fewer
     dispatches for small models).  Single-chip layout only: tensor-parallel
     sharding keeps the split weights (a contiguous Q|K|V concat axis does not
-    shard head-wise)."""
+    shard head-wise).
+
+    With `ffn_block` > 0, FFN weights are laid out in column blocks instead:
+        wgu:    [NL, NB, D, 2*ffn_block]   (block j = gate_j | up_j)
+        w_down: [NL, NB, ffn_block, D]
+    so the Pallas decode kernel can stream one FFN block per grid step (VMEM
+    stays bounded for models whose whole FFN doesn't fit) — the XLA paths
+    consume the blocked layout via an equivalent einsum.
+    """
     ly = params["layers"]
     nl, d = ly["attn_norm"].shape
+    wgu = np.concatenate([ly["w_gate"], ly["w_up"]], axis=-1)
+    w_down = ly["w_down"]
+    if ffn_block:
+        fd = w_down.shape[1]
+        assert fd % ffn_block == 0, (fd, ffn_block)
+        nb = fd // ffn_block
+        gate = ly["w_gate"].reshape(nl, d, nb, ffn_block)
+        up = ly["w_up"].reshape(nl, d, nb, ffn_block)
+        # [NL, NB, D, 2*fblk]
+        wgu = np.concatenate([gate.transpose(0, 2, 1, 3),
+                              up.transpose(0, 2, 1, 3)], axis=-1)
+        w_down = w_down.reshape(nl, nb, ffn_block, d)
     fused = {
         "wqkv": np.concatenate([ly["wq"], ly["wk"], ly["wv"]], axis=-1),
-        "wgu": np.concatenate([ly["w_gate"], ly["w_up"]], axis=-1),
+        "wgu": wgu,
         "wo": ly["wo"],
-        "w_down": ly["w_down"],
+        "w_down": w_down,
         # [NL, 1, D]: the Pallas decode kernel block-fetches one norm row per
         # layer grid step (dynamic sublane indexing is not portable across
         # dtypes on TPU); broadcasts identically in the XLA paths.

@@ -149,23 +149,6 @@ class Generator:
                                 donate_argnums=(3,))
         self._decode = {}  # (num_steps, batch) -> jitted decode
 
-    # VMEM budget for the fused decode kernel: one layer's weights are
-    # double-buffered against compute, plus cache blocks and activations.
-    PALLAS_VMEM_BUDGET = 13 * 1024 * 1024
-
-    def _pallas_vmem_bytes(self) -> int:
-        a = self.args
-        wsize = jnp.dtype(a.dtype).itemsize
-        qd = a.n_heads * a.head_dim
-        kvd = a.kv_heads * a.head_dim
-        per_layer_weights = (
-            a.dim * (qd + 2 * kvd) + qd * a.dim
-            + a.dim * 2 * a.hidden_dim + a.hidden_dim * a.dim
-        ) * wsize
-        cache_block = 2 * a.kv_heads * a.max_seq_len * a.head_dim * \
-            jnp.dtype(a.kv_dtype).itemsize
-        return 2 * per_layer_weights + 2 * cache_block
-
     def _use_pallas(self, batch: int) -> bool:
         impl = self.args.attn_impl
         if impl == "xla" or batch != 1:
@@ -176,13 +159,16 @@ class Generator:
             return True
         # auto: real TPU only (interpret mode is for tests, forced via
         # attn_impl="pallas"); fp32 KV cache (Mosaic cannot do dynamic
-        # single-row sublane stores on 16-bit cache tiles); and the layer's
-        # working set must fit VMEM (the kernel holds whole-layer weights —
-        # larger models take the XLA scan until the sub-blocked variant).
+        # single-row sublane stores on 16-bit cache tiles); and a viable
+        # VMEM plan — whole layer resident, or FFN streamed in column blocks
+        # (the engine already laid the params out accordingly); -1 means even
+        # the attention weights exceed VMEM, so the XLA scan applies.
         if jnp.dtype(self.args.kv_dtype) != jnp.float32:
             return False
-        if self._pallas_vmem_bytes() > self.PALLAS_VMEM_BUDGET:
-            return False
+        if self.args.pallas_ffn_block is None:
+            from .ops.kernels.decode_step import plan_ffn_block
+            if plan_ffn_block(self.args) < 0:
+                return False
         return jax.default_backend() not in ("cpu",)
 
     def decode_fn(self, num_steps: int, batch: int = 1):

@@ -114,12 +114,8 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                     preferred_element_type=jnp.float32).astype(h.dtype)
     z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
     if cfg.fused:
-        fd = lp["w_down"].shape[0]
-        gu = jnp.dot(z, lp["wgu"], precision=cfg.precision,
-                     preferred_element_type=jnp.float32)
-        ff = (jax.nn.silu(gu[..., :fd]) * gu[..., fd:]).astype(z.dtype)
-        h = h + jnp.dot(ff, lp["w_down"], precision=cfg.precision,
-                        preferred_element_type=jnp.float32).astype(h.dtype)
+        h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
+                              precision=cfg.precision)
     else:
         h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
                            precision=cfg.precision)
@@ -234,12 +230,8 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                         preferred_element_type=jnp.float32).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         if cfg.fused:
-            fd = lp["w_down"].shape[0]
-            gu = jnp.dot(z, lp["wgu"], precision=cfg.precision,
-                         preferred_element_type=jnp.float32)
-            ff = (jax.nn.silu(gu[..., :fd]) * gu[..., fd:]).astype(z.dtype)
-            h = h + jnp.dot(ff, lp["w_down"], precision=cfg.precision,
-                            preferred_element_type=jnp.float32).astype(h.dtype)
+            h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
+                                  precision=cfg.precision)
         else:
             h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
                                precision=cfg.precision)
@@ -311,7 +303,11 @@ class Llama:
             fused = args.fuse_matmuls
             if fused:
                 from ..checkpoint import fuse_param_tree
-                params = fuse_param_tree(params)
+                from ..ops.kernels.decode_step import plan_ffn_block
+                fb = args.pallas_ffn_block
+                if fb is None:
+                    fb = max(plan_ffn_block(args), 0)
+                params = fuse_param_tree(params, fb)
             self.cfg = StaticConfig.from_args(args, prec, fused=fused,
                                               unroll=unroll,
                                               rope_split=rope_split)

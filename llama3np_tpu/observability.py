@@ -248,11 +248,7 @@ def debug_trace_forward(engine, input_ids, start_pos: int = 0,
         h = h + jnp.dot(attn.reshape(B, L, -1), ly["wo"][i])
         z = ops.rms_norm(h, ly["ffn_norm"][i], cfg.norm_eps)
         if cfg.fused:
-            fd = ly["w_down"][i].shape[0]
-            gu = jnp.dot(z, ly["wgu"][i])
-            import jax
-            ff = jax.nn.silu(gu[..., :fd]) * gu[..., fd:]
-            h = h + jnp.dot(ff, ly["w_down"][i])
+            h = h + ops.fused_ffn(z, ly["wgu"][i], ly["w_down"][i])
         else:
             h = h + ops.swiglu(z, ly["w_gate"][i], ly["w_up"][i], ly["w_down"][i])
         if first:

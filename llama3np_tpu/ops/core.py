@@ -39,6 +39,29 @@ def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def fused_ffn(z: jax.Array, wgu: jax.Array, w_down: jax.Array,
+              precision=None) -> jax.Array:
+    """SwiGLU on the fused gate|up layout.
+
+    Standard: wgu [D, 2F], w_down [F, D].
+    Blocked (checkpoint.fuse_param_tree ffn_block): wgu [NB, D, 2f],
+    w_down [NB, f, D] — same math, summed over column blocks.
+    """
+    if wgu.ndim == 2:
+        fd = w_down.shape[0]
+        gu = jnp.dot(z, wgu, precision=precision,
+                     preferred_element_type=jnp.float32)
+        ff = (jax.nn.silu(gu[..., :fd]) * gu[..., fd:]).astype(z.dtype)
+        return jnp.dot(ff, w_down, precision=precision,
+                       preferred_element_type=jnp.float32).astype(z.dtype)
+    f = w_down.shape[1]
+    gu = jnp.einsum("...d,ndf->n...f", z, wgu, precision=precision,
+                    preferred_element_type=jnp.float32)
+    ff = (jax.nn.silu(gu[..., :f]) * gu[..., f:]).astype(z.dtype)
+    return jnp.einsum("n...f,nfd->...d", ff, w_down, precision=precision,
+                      preferred_element_type=jnp.float32).astype(z.dtype)
+
+
 # ---------------------------------------------------------------------------
 # RoPE
 # ---------------------------------------------------------------------------

@@ -37,6 +37,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+VMEM_BUDGET = 13 * 1024 * 1024  # scoped-vmem headroom under the 16 MB limit
+
+
+def plan_ffn_block(args) -> int:
+    """Choose the fused-decode kernel's FFN layout for `args`.
+
+    Returns 0 (whole layer fits VMEM — single-grid kernel), a block size
+    (FFN streamed in column blocks), or -1 (even the attention-side weights
+    exceed VMEM — the XLA scan path applies).
+    """
+    import jax.numpy as jnp
+
+    wsize = jnp.dtype(args.dtype).itemsize
+    qd = args.n_heads * args.head_dim
+    kvd = args.kv_heads * args.head_dim
+    d, fd = args.dim, args.hidden_dim
+    cache = 2 * args.kv_heads * args.max_seq_len * args.head_dim * \
+        jnp.dtype(args.kv_dtype).itemsize
+    attn = (d * (qd + 2 * kvd) + qd * d) * wsize
+    ffn = (d * 2 * fd + fd * d) * wsize
+    if 2 * (attn + ffn) + 2 * cache <= VMEM_BUDGET:
+        return 0
+    for blk in (2048, 1024, 512, 256, 128):
+        if fd % blk:
+            continue
+        blk_bytes = (d * 2 * blk + blk * d) * wsize
+        if 2 * attn + 2 * blk_bytes + 2 * cache <= VMEM_BUDGET:
+            return blk
+    return -1
+
+
 def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
                        norm_eps: float):
     nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
@@ -135,6 +166,176 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
     return kernel
 
 
+def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
+                        norm_eps: float, nb: int):
+    """Kernel for the FFN-blocked layout: grid (layers, ffn_blocks).
+
+    j == 0 runs the attention half (weights resident for the whole layer —
+    BlockSpecs index them by layer only, so Mosaic fetches once) and seeds
+    the FFN scratches; every j accumulates one FFN column block; the last j
+    writes the layer output.  Extends the fused kernel to models whose whole
+    FFN cannot sit in VMEM (stories110M-class and up).
+    """
+    nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
+    g = nh // kvh
+    qd = nh * hd
+    kvd = kvh * hd
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+
+    def kernel(pos_ref,
+               x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
+               attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
+               k_in_ref, v_in_ref,
+               x_out_ref, k_out_ref, v_out_ref,
+               h_s, zn_s, acc_s):
+        layer = pl.program_id(0)
+        j = pl.program_id(1)
+        pos = pos_ref[0]
+        m = k_in_ref.shape[1]
+
+        @pl.when(jnp.logical_and(layer == 0, j == 0))
+        def _():
+            x_out_ref[:] = x_ref[:]
+
+        @pl.when(j == 0)
+        def _():
+            k_out_ref[:] = k_in_ref[:]
+            v_out_ref[:] = v_in_ref[:]
+
+            x = x_out_ref[:].astype(jnp.float32)  # [1, D]
+            xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+            xn = xn * attn_norm_ref[:].astype(jnp.float32)
+            w_qkv = wqkv_ref[:]
+            qkv = jnp.dot(xn.astype(w_qkv.dtype), w_qkv,
+                          preferred_element_type=jnp.float32)
+
+            cos = cos_ref[:]
+            sin = sin_ref[:]
+
+            def rope_row(row):
+                r1 = row[:, : hd // 2]
+                r2 = row[:, hd // 2 :]
+                return jnp.concatenate(
+                    [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
+                )
+
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+            mask = kv_idx <= pos
+            attn_heads = []
+            for h_kv in range(kvh):
+                k_off = qd + h_kv * hd
+                v_off = qd + kvd + h_kv * hd
+                k_rot = rope_row(qkv[:, k_off : k_off + hd])
+                k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
+                v_out_ref[h_kv, pl.ds(pos, 1), :] = (
+                    qkv[:, v_off : v_off + hd].astype(v_out_ref.dtype)
+                )
+                ks = k_out_ref[h_kv].astype(jnp.float32)
+                vs = v_out_ref[h_kv].astype(jnp.float32)
+                for h_g in range(g):
+                    q_off = (h_kv * g + h_g) * hd
+                    q_rot = rope_row(qkv[:, q_off : q_off + hd])
+                    scores = jax.lax.dot_general(
+                        q_rot, ks, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * inv_sqrt_hd
+                    scores = jnp.where(mask, scores, -jnp.inf)
+                    smax = jnp.max(scores, axis=-1, keepdims=True)
+                    sexp = jnp.exp(scores - smax)
+                    probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+                    attn_heads.append(
+                        jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+                    )
+            attn = jnp.concatenate(attn_heads, axis=-1)
+            w_o = wo_ref[:]
+            h = x + jnp.dot(attn.astype(w_o.dtype), w_o,
+                            preferred_element_type=jnp.float32)
+            h_s[:] = h
+            zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
+            zn_s[:] = zn * ffn_norm_ref[:].astype(jnp.float32)
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        # FFN column block j (every grid step).
+        zn = zn_s[:]
+        w_gu = wgu_ref[:]                  # [D, 2*fblk]
+        fblk = wdown_ref.shape[0]
+        gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
+                     preferred_element_type=jnp.float32)
+        gate = gu[:, :fblk]
+        ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fblk:]
+        w_dn = wdown_ref[:]                # [fblk, D]
+        acc_s[:] = acc_s[:] + jnp.dot(ff.astype(w_dn.dtype), w_dn,
+                                      preferred_element_type=jnp.float32)
+
+        @pl.when(j == nb - 1)
+        def _():
+            x_out_ref[:] = (h_s[:] + acc_s[:]).astype(x_out_ref.dtype)
+
+    return kernel
+
+
+def _blocked_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
+                           *, n_heads, kv_heads, head_dim, norm_eps,
+                           interpret=False):
+    nl, d, qkv_d = layers["wqkv"].shape
+    _, nb, _, gfd2 = layers["wgu"].shape
+    fblk = layers["w_down"].shape[2]
+    _, kvh, m, hd = k_cache.shape
+    qd = n_heads * head_dim
+
+    kernel = make_blocked_kernel(n_heads, kv_heads, head_dim, norm_eps, nb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl, nb),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, d, qkv_d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((None, qd, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((None, None, d, gfd2), lambda l, j, sref: (l, j, 0, 0)),
+            pl.BlockSpec((None, None, fblk, d), lambda l, j, sref: (l, j, 0, 0)),
+            pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, kvh, m, hd), lambda l, j, sref: (l, 0, 0, 0)),
+            pl.BlockSpec((None, kvh, m, hd), lambda l, j, sref: (l, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, kvh, m, hd), lambda l, j, sref: (l, 0, 0, 0)),
+            pl.BlockSpec((None, kvh, m, hd), lambda l, j, sref: (l, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),  # h after attention
+            pltpu.VMEM((1, d), jnp.float32),  # normalized FFN input
+            pltpu.VMEM((1, d), jnp.float32),  # FFN accumulator
+        ],
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, d), x.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        pos.reshape(1).astype(jnp.int32),
+        x, layers["wqkv"], layers["wo"], layers["wgu"], layers["w_down"],
+        layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
+        k_cache, v_cache,
+    )
+
+
 def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
                   k_cache: jax.Array, v_cache: jax.Array,
                   cos_row: jax.Array, sin_row: jax.Array,
@@ -152,6 +353,12 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
 
     Returns (x_out [1, D], k_cache, v_cache).
     """
+    if layers["wgu"].ndim == 4:  # FFN-blocked layout -> (layers, blocks) grid
+        return _blocked_decode_layers(
+            layers, x, pos, k_cache, v_cache, cos_row, sin_row,
+            n_heads=n_heads, kv_heads=kv_heads, head_dim=head_dim,
+            norm_eps=norm_eps, interpret=interpret,
+        )
     nl, d, qkv_d = layers["wqkv"].shape
     fd = layers["w_down"].shape[1]
     _, kvh, m, hd = k_cache.shape

@@ -53,8 +53,12 @@ def test_flash_prefill_matches_dense(rng, L, nh, kvh, hd, bq, bk):
                                rtol=2e-4, atol=1e-5)
 
 
-def test_pallas_layer_step_values(tiny_args, tiny_weights, rng):
-    """Single decode step: kernel hidden state vs the XLA layer scan."""
+@pytest.mark.parametrize("ffn_block", [0, 32])
+def test_pallas_layer_step_values(tiny_args, tiny_weights, rng, ffn_block):
+    """Single decode step: kernel hidden state vs the XLA layer scan.
+
+    ffn_block=32 exercises the FFN-blocked (layers x blocks grid) variant
+    (test-tiny hidden_dim=128 -> 4 column blocks)."""
     from llama3np_tpu.checkpoint import (build_param_tree, fuse_param_tree,
                                          permute_rope_layout)
     from llama3np_tpu.models.llama import forward_hidden, StaticConfig
@@ -64,7 +68,7 @@ def test_pallas_layer_step_values(tiny_args, tiny_weights, rng):
 
     args = tiny_args
     params = permute_rope_layout(build_param_tree(tiny_weights, args), args)
-    fused = fuse_param_tree(params)
+    fused = fuse_param_tree(params, ffn_block)
     cfg = StaticConfig.from_args(args, fused=True, rope_split=True)
     cos, sin = rope_tables(args.head_dim, args.max_seq_len, args.rope_theta)
 
