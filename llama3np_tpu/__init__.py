@@ -19,7 +19,7 @@ from .checkpoint import (
     write_synthetic_checkpoint,
     save_npz,
 )
-from .kvcache import init_cache
+from .kvcache import init_cache, init_paged_cache, PageAllocator
 from .models.llama import Llama, StaticConfig, forward, forward_hidden
 from .reference_numpy import NumpyLlama
 
@@ -29,6 +29,15 @@ __all__ = [
     "ModelArgs", "PRESETS", "preset", "Tokenizer",
     "load_parameters", "load_param_tree", "build_param_tree",
     "synthetic_weights", "write_synthetic_checkpoint", "save_npz",
-    "init_cache", "Llama", "StaticConfig", "forward", "forward_hidden",
-    "NumpyLlama",
+    "init_cache", "init_paged_cache", "PageAllocator",
+    "Llama", "StaticConfig", "forward", "forward_hidden",
+    "NumpyLlama", "BatchEngine",
 ]
+
+
+def __getattr__(name):
+    # Lazy: serving pulls in the Generator machinery.
+    if name == "BatchEngine":
+        from .serving import BatchEngine
+        return BatchEngine
+    raise AttributeError(name)
