@@ -103,7 +103,9 @@ def permute_rope_layout(params: Dict, args: ModelArgs) -> Dict:
     return {**params, "layers": ly}
 
 
-def fuse_param_tree(params: Dict, ffn_block: int = 0) -> Dict:
+def fuse_param_tree(params: Dict, ffn_block: int = 0,
+                    attn_group: bool = False, n_heads: int = 0,
+                    kv_heads: int = 0, head_dim: int = 0) -> Dict:
     """Fuse per-layer Q/K/V into one [NL, D, QD+2*KVD] weight and gate/up into
     one [NL, D, 2*FD] weight (single matmul each at decode time — fewer
     dispatches for small models).  Single-chip layout only: tensor-parallel
@@ -116,6 +118,12 @@ def fuse_param_tree(params: Dict, ffn_block: int = 0) -> Dict:
     so the Pallas decode kernel can stream one FFN block per grid step (VMEM
     stays bounded for models whose whole FFN doesn't fit) — the XLA paths
     consume the blocked layout via an equivalent einsum.
+
+    With `attn_group`, attention weights are laid out per KV-head group
+    (requires head counts):
+        wqkv: [NL, KVH, D, (G+2)*HD]   (group j = its G query heads | k_j | v_j)
+        wo:   [NL, KVH, G*HD, D]
+    so the kernel can also stream attention one KV-head group per grid step.
     """
     ly = params["layers"]
     nl, d = ly["attn_norm"].shape
@@ -131,10 +139,21 @@ def fuse_param_tree(params: Dict, ffn_block: int = 0) -> Dict:
         wgu = np.concatenate([gate.transpose(0, 2, 1, 3),
                               up.transpose(0, 2, 1, 3)], axis=-1)
         w_down = w_down.reshape(nl, nb, ffn_block, d)
+    if attn_group:
+        assert n_heads and kv_heads and head_dim, "head counts required"
+        g = n_heads // kv_heads
+        wq_g = ly["wq"].reshape(nl, d, kv_heads, g * head_dim).transpose(0, 2, 1, 3)
+        wk_g = ly["wk"].reshape(nl, d, kv_heads, head_dim).transpose(0, 2, 1, 3)
+        wv_g = ly["wv"].reshape(nl, d, kv_heads, head_dim).transpose(0, 2, 1, 3)
+        wqkv = np.concatenate([wq_g, wk_g, wv_g], axis=-1)  # [NL,KVH,D,(G+2)HD]
+        wo = ly["wo"].reshape(nl, kv_heads, g * head_dim, d)
+    else:
+        wqkv = np.concatenate([ly["wq"], ly["wk"], ly["wv"]], axis=-1)
+        wo = ly["wo"]
     fused = {
-        "wqkv": np.concatenate([ly["wq"], ly["wk"], ly["wv"]], axis=-1),
+        "wqkv": wqkv,
         "wgu": wgu,
-        "wo": ly["wo"],
+        "wo": wo,
         "w_down": w_down,
         # [NL, 1, D]: the Pallas decode kernel block-fetches one norm row per
         # layer grid step (dynamic sublane indexing is not portable across

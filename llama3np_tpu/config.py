@@ -67,10 +67,13 @@ class ModelArgs:
     # Token-scan unroll in the decode loop (amortizes while-loop overhead;
     # measured ~+10% on stories110M at 4, at extra compile time).
     decode_token_unroll: int = 1
-    # Fused-decode-kernel FFN blocking: None = auto VMEM plan
-    # (ops.kernels.decode_step.plan_ffn_block); an int forces that column
-    # block size (0 = whole layer resident).
+    # Fused-decode-kernel layout: None = auto VMEM plan
+    # (ops.kernels.decode_step.plan_layout); pallas_ffn_block forces that FFN
+    # column block size (0 = whole layer resident) and pallas_attn_group
+    # additionally streams attention per KV-head group (requires a nonzero
+    # ffn block).
     pallas_ffn_block: Optional[int] = None
+    pallas_attn_group: bool = False
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

@@ -166,8 +166,8 @@ class Generator:
         if jnp.dtype(self.args.kv_dtype) != jnp.float32:
             return False
         if self.args.pallas_ffn_block is None:
-            from .ops.kernels.decode_step import plan_ffn_block
-            if plan_ffn_block(self.args) < 0:
+            from .ops.kernels.decode_step import plan_layout
+            if plan_layout(self.args) is None:
                 return False
         return jax.default_backend() not in ("cpu",)
 

@@ -58,16 +58,12 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                 h, lp: Dict, ck, cv):
     """One transformer block. h: [B, L, D]; ck/cv: this layer's cache slice."""
     B, L, D = h.shape
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.kv_heads * cfg.head_dim
     x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
     if cfg.fused:
         # Single-chip fast path: one matmul for Q|K|V (dispatch-overhead
         # reduction for small-model decode; TP keeps the split weights).
-        qkv = jnp.dot(x, lp["wqkv"], precision=cfg.precision,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
-        q, k, v = (qkv[..., :qd], qkv[..., qd : qd + kvd],
-                   qkv[..., qd + kvd :])
+        q, k, v = ops.fused_qkv(x, lp["wqkv"], cfg.n_heads, cfg.kv_heads,
+                                cfg.head_dim, precision=cfg.precision)
     else:
         q = jnp.dot(x, lp["wq"], precision=cfg.precision,
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -75,9 +71,9 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                     preferred_element_type=jnp.float32).astype(x.dtype)
         v = jnp.dot(x, lp["wv"], precision=cfg.precision,
                     preferred_element_type=jnp.float32).astype(x.dtype)
-    q = q.reshape(B, L, cfg.n_heads, cfg.head_dim)
-    k = k.reshape(B, L, cfg.kv_heads, cfg.head_dim)
-    v = v.reshape(B, L, cfg.kv_heads, cfg.head_dim)
+        q = q.reshape(B, L, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, L, cfg.kv_heads, cfg.head_dim)
+        v = v.reshape(B, L, cfg.kv_heads, cfg.head_dim)
     rope = ops.apply_rope_split if cfg.rope_split else ops.apply_rope
     q = rope(q, cos, sin)
     k = rope(k, cos, sin)
@@ -109,9 +105,8 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
             cfg.kv_block, precision=cfg.precision)
     else:
         attn = ops.cache_attention(q, ck, cv, pos, precision=cfg.precision)
-    attn = attn.reshape(B, L, -1)
-    h = h + jnp.dot(attn, lp["wo"], precision=cfg.precision,
-                    preferred_element_type=jnp.float32).astype(h.dtype)
+    h = h + ops.fused_o_proj(attn, lp["wo"],
+                             precision=cfg.precision).astype(h.dtype)
     z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
     if cfg.fused:
         h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
@@ -196,17 +191,12 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             return jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
         return jnp.stack([r1, r2], axis=-1).reshape(x.shape).astype(x.dtype)
 
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.kv_heads * cfg.head_dim
-
     def step(h, xs):
         lp, ck, cv = xs
         x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
         if cfg.fused:
-            qkv = jnp.dot(x, lp["wqkv"], precision=cfg.precision,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
-            q, k, v = (qkv[..., :qd], qkv[..., qd : qd + kvd],
-                       qkv[..., qd + kvd :])
+            q, k, v = ops.fused_qkv(x, lp["wqkv"], cfg.n_heads, cfg.kv_heads,
+                                    cfg.head_dim, precision=cfg.precision)
         else:
             q = jnp.dot(x, lp["wq"], precision=cfg.precision,
                         preferred_element_type=jnp.float32).astype(x.dtype)
@@ -214,9 +204,11 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                         preferred_element_type=jnp.float32).astype(x.dtype)
             v = jnp.dot(x, lp["wv"], precision=cfg.precision,
                         preferred_element_type=jnp.float32).astype(x.dtype)
-        q = rope_rows(q.reshape(B, 1, cfg.n_heads, cfg.head_dim))
-        k = rope_rows(k.reshape(B, 1, cfg.kv_heads, cfg.head_dim))
-        v = v.reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+            q = q.reshape(B, 1, cfg.n_heads, cfg.head_dim)
+            k = k.reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+            v = v.reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+        q = rope_rows(q)
+        k = rope_rows(k)
         if block_table is not None:
             ck, cv = ops.paged_update_kv_cache(ck, cv, k, v, page_ids, offsets)
             attn = ops.paged_attention(q, ck, cv, block_table, pos,
@@ -225,9 +217,8 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             ck, cv = ops.ragged_update_kv_cache(ck, cv, k, v, pos)
             attn = ops.ragged_cache_attention(q, ck, cv, pos,
                                               precision=cfg.precision)
-        h = h + jnp.dot(attn.reshape(B, 1, -1), lp["wo"],
-                        precision=cfg.precision,
-                        preferred_element_type=jnp.float32).astype(h.dtype)
+        h = h + ops.fused_o_proj(attn, lp["wo"],
+                                 precision=cfg.precision).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         if cfg.fused:
             h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
@@ -303,11 +294,17 @@ class Llama:
             fused = args.fuse_matmuls
             if fused:
                 from ..checkpoint import fuse_param_tree
-                from ..ops.kernels.decode_step import plan_ffn_block
-                fb = args.pallas_ffn_block
-                if fb is None:
-                    fb = max(plan_ffn_block(args), 0)
-                params = fuse_param_tree(params, fb)
+                from ..ops.kernels.decode_step import plan_layout
+                if args.pallas_ffn_block is not None:
+                    plan = (bool(args.pallas_attn_group), args.pallas_ffn_block)
+                else:
+                    plan = plan_layout(args) or (False, 0)
+                attn_group, fb = plan
+                params = fuse_param_tree(
+                    params, fb, attn_group=attn_group,
+                    n_heads=args.n_heads, kv_heads=args.kv_heads,
+                    head_dim=args.head_dim,
+                )
             self.cfg = StaticConfig.from_args(args, prec, fused=fused,
                                               unroll=unroll,
                                               rope_split=rope_split)

@@ -208,23 +208,18 @@ def debug_trace_forward(engine, input_ids, start_pos: int = 0,
 
     cache = engine.init_cache(B)
     ly = params["layers"]
-    qd = cfg.n_heads * cfg.head_dim
-    kvd = cfg.kv_heads * cfg.head_dim
     for i in range(engine.args.n_layers):
         first = i == 0
         x = ops.rms_norm(h, ly["attn_norm"][i], cfg.norm_eps)
         if first:
             emit(_stat_line("attn_norm_out", x))
         if cfg.fused:
-            qkv = jnp.dot(x, ly["wqkv"][i])
-            q, k, v = (qkv[..., :qd], qkv[..., qd:qd + kvd], qkv[..., qd + kvd:])
+            q, k, v = ops.fused_qkv(x, ly["wqkv"][i], cfg.n_heads,
+                                    cfg.kv_heads, cfg.head_dim)
         else:
-            q = jnp.dot(x, ly["wq"][i])
-            k = jnp.dot(x, ly["wk"][i])
-            v = jnp.dot(x, ly["wv"][i])
-        q = q.reshape(B, L, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, L, cfg.kv_heads, cfg.head_dim)
-        v = v.reshape(B, L, cfg.kv_heads, cfg.head_dim)
+            q = jnp.dot(x, ly["wq"][i]).reshape(B, L, cfg.n_heads, cfg.head_dim)
+            k = jnp.dot(x, ly["wk"][i]).reshape(B, L, cfg.kv_heads, cfg.head_dim)
+            v = jnp.dot(x, ly["wv"][i]).reshape(B, L, cfg.kv_heads, cfg.head_dim)
         if first:
             emit(_stat_line("xq", q))
             emit(_stat_line("xk", k))
@@ -245,7 +240,7 @@ def debug_trace_forward(engine, input_ids, start_pos: int = 0,
             attn = ops.cache_attention(q, ck, cv, jnp.int32(start_pos))
         if first:
             emit(_stat_line("attn_out", attn))
-        h = h + jnp.dot(attn.reshape(B, L, -1), ly["wo"][i])
+        h = h + ops.fused_o_proj(attn, ly["wo"][i]).astype(h.dtype)
         z = ops.rms_norm(h, ly["ffn_norm"][i], cfg.norm_eps)
         if cfg.fused:
             h = h + ops.fused_ffn(z, ly["wgu"][i], ly["w_down"][i])

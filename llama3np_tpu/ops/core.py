@@ -39,6 +39,49 @@ def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
                    preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,
+              head_dim: int, precision=None):
+    """QKV projection on the fused layout; returns (q, k, v) as
+    [B, L, NH, HD] / [B, L, KVH, HD].
+
+    Standard: wqkv [D, QD+2*KVD].
+    KV-head-grouped (checkpoint.fuse_param_tree attn_group): wqkv
+    [KVH, D, (G+2)*HD] — group j holds its G query heads' columns, then
+    k_j, then v_j.
+    """
+    B, L, _ = x.shape
+    g = n_heads // kv_heads
+    if wqkv.ndim == 2:
+        qd = n_heads * head_dim
+        kvd = kv_heads * head_dim
+        qkv = jnp.dot(x, wqkv, precision=precision,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        q = qkv[..., :qd].reshape(B, L, n_heads, head_dim)
+        k = qkv[..., qd : qd + kvd].reshape(B, L, kv_heads, head_dim)
+        v = qkv[..., qd + kvd :].reshape(B, L, kv_heads, head_dim)
+        return q, k, v
+    gqkv = jnp.einsum("bld,kdf->blkf", x, wqkv, precision=precision,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    gw = g * head_dim
+    q = gqkv[..., :gw].reshape(B, L, n_heads, head_dim)
+    k = gqkv[..., gw : gw + head_dim]
+    v = gqkv[..., gw + head_dim :]
+    return q, k, v
+
+
+def fused_o_proj(attn: jax.Array, wo: jax.Array, precision=None) -> jax.Array:
+    """Output projection: attn [B, L, NH, HD] with wo [QD, D] (standard) or
+    [KVH, G*HD, D] (grouped rows).  Returns [B, L, D]."""
+    B, L = attn.shape[:2]
+    if wo.ndim == 2:
+        return jnp.dot(attn.reshape(B, L, -1), wo, precision=precision,
+                       preferred_element_type=jnp.float32)
+    kvh, gw, d = wo.shape
+    ag = attn.reshape(B, L, kvh, gw)
+    return jnp.einsum("blkf,kfd->bld", ag, wo, precision=precision,
+                      preferred_element_type=jnp.float32)
+
+
 def fused_ffn(z: jax.Array, wgu: jax.Array, w_down: jax.Array,
               precision=None) -> jax.Array:
     """SwiGLU on the fused gate|up layout.

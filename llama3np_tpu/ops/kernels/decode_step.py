@@ -77,6 +77,34 @@ def plan_ffn_block(args) -> int:
     return -1
 
 
+def plan_layout(args):
+    """Full kernel-layout plan: (attn_group, ffn_block), or None when no
+    fused-decode-kernel layout fits VMEM (XLA scan applies).
+
+    Tries in order: whole layer resident; FFN column-blocked; attention
+    streamed per KV-head group + FFN blocked (the fully streamed form —
+    nothing layer-sized in VMEM, demand `2*group + 2*blk + 4*cache_head`).
+    """
+    import jax.numpy as jnp
+
+    fb = plan_ffn_block(args)
+    if fb >= 0:
+        return (False, fb)
+    wsize = jnp.dtype(args.dtype).itemsize
+    d, fd, hd = args.dim, args.hidden_dim, args.head_dim
+    g = args.n_rep
+    group = (d * (g + 2) * hd + g * hd * d) * wsize
+    cache_head = 2 * args.max_seq_len * hd * jnp.dtype(args.kv_dtype).itemsize
+    slack = 512 * 1024
+    for blk in (2048, 1024, 512, 256, 128):
+        if fd % blk:
+            continue
+        blk_bytes = (d * 2 * blk + blk * d) * wsize
+        if 2 * group + 2 * blk_bytes + 4 * cache_head + slack <= VMEM_BUDGET:
+            return (True, blk)
+    return None
+
+
 def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
                        norm_eps: float):
     nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
@@ -345,6 +373,187 @@ def _blocked_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
     )
 
 
+def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
+                        norm_eps: float, nb_ffn: int):
+    """Kernel for the fully streamed layout: grid (layers, kvh + nb_ffn).
+
+    Steps 0..KVH-1 each stream one KV-head group's attention weights
+    (G query heads + its K/V columns + its wo rows) and that head's cache
+    block, accumulating the o-projection; the remaining steps stream FFN
+    column blocks.  Nothing layer-sized ever sits in VMEM, extending the
+    fused decode kernel to TinyLlama-class models.
+    """
+    nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
+    g = nh // kvh
+    gw = g * hd
+    nsteps = kvh + nb_ffn
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+
+    def kernel(pos_ref,
+               x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
+               attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
+               k_in_ref, v_in_ref,
+               x_out_ref, k_out_ref, v_out_ref,
+               xn_s, hacc_s, zn_s, facc_s):
+        layer = pl.program_id(0)
+        j = pl.program_id(1)
+        pos = pos_ref[0]
+        m = k_in_ref.shape[0]
+
+        @pl.when(jnp.logical_and(layer == 0, j == 0))
+        def _():
+            x_out_ref[:] = x_ref[:]
+
+        @pl.when(j == 0)
+        def _():
+            x = x_out_ref[:].astype(jnp.float32)
+            xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+            xn_s[:] = xn * attn_norm_ref[:].astype(jnp.float32)
+            hacc_s[:] = jnp.zeros_like(hacc_s)
+
+        cos = cos_ref[:]
+        sin = sin_ref[:]
+
+        def rope_row(row):
+            r1 = row[:, : hd // 2]
+            r2 = row[:, hd // 2 :]
+            return jnp.concatenate(
+                [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
+            )
+
+        @pl.when(j < kvh)
+        def _():
+            # This KV head's cache block: carry + row update.
+            k_out_ref[:] = k_in_ref[:]
+            v_out_ref[:] = v_in_ref[:]
+            xn = xn_s[:]
+            w = wqkv_ref[:]                      # [D, (G+2)*HD]
+            qkv = jnp.dot(xn.astype(w.dtype), w,
+                          preferred_element_type=jnp.float32)
+            k_rot = rope_row(qkv[:, gw : gw + hd])
+            k_out_ref[pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
+            v_out_ref[pl.ds(pos, 1), :] = (
+                qkv[:, gw + hd :].astype(v_out_ref.dtype)
+            )
+            ks = k_out_ref[:].astype(jnp.float32)   # [M, HD]
+            vs = v_out_ref[:].astype(jnp.float32)
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+            mask = kv_idx <= pos
+            heads = []
+            for h_g in range(g):
+                q_rot = rope_row(qkv[:, h_g * hd : (h_g + 1) * hd])
+                scores = jax.lax.dot_general(
+                    q_rot, ks, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * inv_sqrt_hd
+                scores = jnp.where(mask, scores, -jnp.inf)
+                smax = jnp.max(scores, axis=-1, keepdims=True)
+                sexp = jnp.exp(scores - smax)
+                probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+                heads.append(
+                    jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+                )
+            attn = jnp.concatenate(heads, axis=-1)   # [1, G*HD]
+            w_o = wo_ref[:]                          # [G*HD, D]
+            hacc_s[:] = hacc_s[:] + jnp.dot(
+                attn.astype(w_o.dtype), w_o,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(j == kvh - 1)
+        def _():
+            h = x_out_ref[:].astype(jnp.float32) + hacc_s[:]
+            hacc_s[:] = h
+            zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
+            zn_s[:] = zn * ffn_norm_ref[:].astype(jnp.float32)
+            facc_s[:] = jnp.zeros_like(facc_s)
+
+        @pl.when(j >= kvh)
+        def _():
+            zn = zn_s[:]
+            w_gu = wgu_ref[:]
+            fblk = wdown_ref.shape[0]
+            gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
+                         preferred_element_type=jnp.float32)
+            gate = gu[:, :fblk]
+            ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fblk:]
+            w_dn = wdown_ref[:]
+            facc_s[:] = facc_s[:] + jnp.dot(
+                ff.astype(w_dn.dtype), w_dn,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(j == nsteps - 1)
+        def _():
+            x_out_ref[:] = (hacc_s[:] + facc_s[:]).astype(x_out_ref.dtype)
+
+    return kernel
+
+
+def _grouped_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
+                           *, n_heads, kv_heads, head_dim, norm_eps,
+                           interpret=False):
+    nl, kvh_w, d, gqkv = layers["wqkv"].shape
+    _, nb, _, gfd2 = layers["wgu"].shape
+    fblk = layers["w_down"].shape[2]
+    _, kvh, m, hd = k_cache.shape
+    gw = (n_heads // kv_heads) * head_dim
+    nsteps = kvh + nb
+
+    kernel = make_grouped_kernel(n_heads, kv_heads, head_dim, norm_eps, nb)
+    kv_i = lambda l, j, sref: (l, jnp.minimum(j, kvh - 1), 0, 0)
+    ffn_i = lambda l, j, sref: (l, jnp.clip(j - kvh, 0, nb - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl, nsteps),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, None, d, gqkv), kv_i),     # wqkv group
+            pl.BlockSpec((None, None, gw, d), kv_i),       # wo group rows
+            pl.BlockSpec((None, None, d, gfd2), ffn_i),    # wgu block
+            pl.BlockSpec((None, None, fblk, d), ffn_i),    # w_down block
+            pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, None, m, hd), kv_i),       # k cache head
+            pl.BlockSpec((None, None, m, hd), kv_i),       # v cache head
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, None, m, hd), kv_i),
+            pl.BlockSpec((None, None, m, hd), kv_i),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),  # normalized attention input
+            pltpu.VMEM((1, d), jnp.float32),  # o-proj accumulator / h
+            pltpu.VMEM((1, d), jnp.float32),  # normalized FFN input
+            pltpu.VMEM((1, d), jnp.float32),  # FFN accumulator
+        ],
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, d), x.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        pos.reshape(1).astype(jnp.int32),
+        x, layers["wqkv"], layers["wo"], layers["wgu"], layers["w_down"],
+        layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
+        k_cache, v_cache,
+    )
+
+
 def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
                   k_cache: jax.Array, v_cache: jax.Array,
                   cos_row: jax.Array, sin_row: jax.Array,
@@ -362,6 +571,12 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
 
     Returns (x_out [1, D], k_cache, v_cache).
     """
+    if layers["wqkv"].ndim == 4:  # KV-head-grouped + FFN-blocked layout
+        return _grouped_decode_layers(
+            layers, x, pos, k_cache, v_cache, cos_row, sin_row,
+            n_heads=n_heads, kv_heads=kv_heads, head_dim=head_dim,
+            norm_eps=norm_eps, interpret=interpret,
+        )
     if layers["wgu"].ndim == 4:  # FFN-blocked layout -> (layers, blocks) grid
         return _blocked_decode_layers(
             layers, x, pos, k_cache, v_cache, cos_row, sin_row,

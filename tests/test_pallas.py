@@ -17,11 +17,17 @@ from llama3np_tpu.models.llama import Llama
 ATOL, RTOL = 1e-4, 2e-4
 
 
-@pytest.mark.parametrize("name", ["test-tiny", "test-tiny-mha"])
-def test_pallas_decode_matches_xla(name, rng):
-    """Full generate: Pallas fused decode vs XLA decode, token identity."""
+@pytest.mark.parametrize("name,kw", [
+    ("test-tiny", {}),
+    ("test-tiny-mha", {}),
+    ("test-tiny", dict(pallas_ffn_block=32)),
+    ("test-tiny", dict(pallas_ffn_block=32, pallas_attn_group=True)),
+])
+def test_pallas_decode_matches_xla(name, kw, rng):
+    """Full generate: Pallas fused decode (all layout variants) vs XLA
+    decode, token identity."""
     args_x = preset(name, attn_impl="xla")
-    args_p = preset(name, attn_impl="pallas")
+    args_p = preset(name, attn_impl="pallas", **kw)
     weights = synthetic_weights(args_x, seed=13)
     ids = rng.integers(3, args_x.vocab_size, size=(1, 5)).astype(np.int32)
 
@@ -53,12 +59,15 @@ def test_flash_prefill_matches_dense(rng, L, nh, kvh, hd, bq, bk):
                                rtol=2e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("ffn_block", [0, 32])
-def test_pallas_layer_step_values(tiny_args, tiny_weights, rng, ffn_block):
+@pytest.mark.parametrize("ffn_block,attn_group", [(0, False), (32, False),
+                                                  (32, True)])
+def test_pallas_layer_step_values(tiny_args, tiny_weights, rng, ffn_block,
+                                  attn_group):
     """Single decode step: kernel hidden state vs the XLA layer scan.
 
     ffn_block=32 exercises the FFN-blocked (layers x blocks grid) variant
-    (test-tiny hidden_dim=128 -> 4 column blocks)."""
+    (test-tiny hidden_dim=128 -> 4 column blocks); attn_group additionally
+    streams attention per KV-head group (test-tiny KVH=2, G=2)."""
     from llama3np_tpu.checkpoint import (build_param_tree, fuse_param_tree,
                                          permute_rope_layout)
     from llama3np_tpu.models.llama import forward_hidden, StaticConfig
@@ -68,7 +77,9 @@ def test_pallas_layer_step_values(tiny_args, tiny_weights, rng, ffn_block):
 
     args = tiny_args
     params = permute_rope_layout(build_param_tree(tiny_weights, args), args)
-    fused = fuse_param_tree(params, ffn_block)
+    fused = fuse_param_tree(params, ffn_block, attn_group=attn_group,
+                            n_heads=args.n_heads, kv_heads=args.kv_heads,
+                            head_dim=args.head_dim)
     cfg = StaticConfig.from_args(args, fused=True, rope_split=True)
     cos, sin = rope_tables(args.head_dim, args.max_seq_len, args.rope_theta)
 
