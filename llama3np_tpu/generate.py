@@ -158,13 +158,12 @@ class Generator:
         if impl == "pallas":
             return True
         # auto: real TPU only (interpret mode is for tests, forced via
-        # attn_impl="pallas"); fp32 KV cache (Mosaic cannot do dynamic
-        # single-row sublane stores on 16-bit cache tiles); and a viable
-        # VMEM plan — whole layer resident, or FFN streamed in column blocks
-        # (the engine already laid the params out accordingly); -1 means even
-        # the attention weights exceed VMEM, so the XLA scan applies.
-        if jnp.dtype(self.args.kv_dtype) != jnp.float32:
-            return False
+        # attn_impl="pallas") and a viable VMEM plan — whole layer resident,
+        # FFN streamed in column blocks, or attention additionally streamed
+        # per KV-head group (the engine already laid the params out
+        # accordingly); None means even the streamed forms exceed VMEM, so
+        # the XLA scan applies.  16-bit caches use the masked-select row
+        # write inside the kernels.
         if self.args.pallas_ffn_block is None:
             from .ops.kernels.decode_step import plan_layout
             if plan_layout(self.args) is None:

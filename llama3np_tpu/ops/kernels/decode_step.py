@@ -105,6 +105,14 @@ def plan_layout(args):
     return None
 
 
+def _row_select(pos, m):
+    """[M, 1] mask selecting row `pos` — the 16-bit cache-write form (Mosaic
+    has no dynamic sublane stores on 16-bit tiles; a masked full-block select
+    over the already-resident VMEM block replaces the row store)."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    return row_ids == pos
+
+
 def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
                        norm_eps: float):
     nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
@@ -127,9 +135,14 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
             x_out_ref[:] = x_ref[:]
 
         # Aliased output blocks start uninitialized: carry the fetched cache
-        # over, then update row `pos` in place.
-        k_out_ref[:] = k_in_ref[:]
-        v_out_ref[:] = v_in_ref[:]
+        # over (32-bit caches update row `pos` in place below; 16-bit caches
+        # use the masked-select write per head instead).
+        cache_32 = jnp.dtype(k_out_ref.dtype).itemsize == 4
+        if cache_32:
+            k_out_ref[:] = k_in_ref[:]
+            v_out_ref[:] = v_in_ref[:]
+        else:
+            row_sel = _row_select(pos, m)
 
         x = x_out_ref[:].astype(jnp.float32)  # [1, D]
 
@@ -160,10 +173,15 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
             k_off = qd + h_kv * hd
             v_off = qd + kvd + h_kv * hd
             k_rot = rope_row(qkv[:, k_off : k_off + hd])           # [1, HD]
-            k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
-            v_out_ref[h_kv, pl.ds(pos, 1), :] = (
-                qkv[:, v_off : v_off + hd].astype(v_out_ref.dtype)
-            )
+            v_new = qkv[:, v_off : v_off + hd]
+            if cache_32:
+                k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
+                v_out_ref[h_kv, pl.ds(pos, 1), :] = v_new.astype(v_out_ref.dtype)
+            else:
+                k_out_ref[h_kv] = jnp.where(
+                    row_sel, k_rot.astype(k_out_ref.dtype), k_in_ref[h_kv])
+                v_out_ref[h_kv] = jnp.where(
+                    row_sel, v_new.astype(v_out_ref.dtype), v_in_ref[h_kv])
             ks = k_out_ref[h_kv].astype(jnp.float32)               # [M, HD]
             vs = v_out_ref[h_kv].astype(jnp.float32)
             for h_g in range(g):
@@ -236,8 +254,12 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         @pl.when(j == 0)
         def _():
-            k_out_ref[:] = k_in_ref[:]
-            v_out_ref[:] = v_in_ref[:]
+            cache_32 = jnp.dtype(k_out_ref.dtype).itemsize == 4
+            if cache_32:
+                k_out_ref[:] = k_in_ref[:]
+                v_out_ref[:] = v_in_ref[:]
+            else:
+                row_sel = _row_select(pos, m)
 
             x = x_out_ref[:].astype(jnp.float32)  # [1, D]
             xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
@@ -263,10 +285,15 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
                 k_off = qd + h_kv * hd
                 v_off = qd + kvd + h_kv * hd
                 k_rot = rope_row(qkv[:, k_off : k_off + hd])
-                k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
-                v_out_ref[h_kv, pl.ds(pos, 1), :] = (
-                    qkv[:, v_off : v_off + hd].astype(v_out_ref.dtype)
-                )
+                v_new = qkv[:, v_off : v_off + hd]
+                if cache_32:
+                    k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
+                    v_out_ref[h_kv, pl.ds(pos, 1), :] = v_new.astype(v_out_ref.dtype)
+                else:
+                    k_out_ref[h_kv] = jnp.where(
+                        row_sel, k_rot.astype(k_out_ref.dtype), k_in_ref[h_kv])
+                    v_out_ref[h_kv] = jnp.where(
+                        row_sel, v_new.astype(v_out_ref.dtype), v_in_ref[h_kv])
                 ks = k_out_ref[h_kv].astype(jnp.float32)
                 vs = v_out_ref[h_kv].astype(jnp.float32)
                 for h_g in range(g):
@@ -424,17 +451,23 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
         @pl.when(j < kvh)
         def _():
             # This KV head's cache block: carry + row update.
-            k_out_ref[:] = k_in_ref[:]
-            v_out_ref[:] = v_in_ref[:]
             xn = xn_s[:]
             w = wqkv_ref[:]                      # [D, (G+2)*HD]
             qkv = jnp.dot(xn.astype(w.dtype), w,
                           preferred_element_type=jnp.float32)
             k_rot = rope_row(qkv[:, gw : gw + hd])
-            k_out_ref[pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
-            v_out_ref[pl.ds(pos, 1), :] = (
-                qkv[:, gw + hd :].astype(v_out_ref.dtype)
-            )
+            v_new = qkv[:, gw + hd :]
+            if jnp.dtype(k_out_ref.dtype).itemsize == 4:
+                k_out_ref[:] = k_in_ref[:]
+                v_out_ref[:] = v_in_ref[:]
+                k_out_ref[pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
+                v_out_ref[pl.ds(pos, 1), :] = v_new.astype(v_out_ref.dtype)
+            else:
+                row_sel = _row_select(pos, m)
+                k_out_ref[:] = jnp.where(
+                    row_sel, k_rot.astype(k_out_ref.dtype), k_in_ref[:])
+                v_out_ref[:] = jnp.where(
+                    row_sel, v_new.astype(v_out_ref.dtype), v_in_ref[:])
             ks = k_out_ref[:].astype(jnp.float32)   # [M, HD]
             vs = v_out_ref[:].astype(jnp.float32)
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)

@@ -73,6 +73,8 @@ def mha_params(mha_args, mha_weights):
     return build_param_tree(mha_weights, mha_args)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: a shared mutable generator makes test inputs depend on
+    # execution order (bf16 token-identity tests then flake on near-ties).
     return np.random.default_rng(42)

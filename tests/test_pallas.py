@@ -22,6 +22,9 @@ ATOL, RTOL = 1e-4, 2e-4
     ("test-tiny-mha", {}),
     ("test-tiny", dict(pallas_ffn_block=32)),
     ("test-tiny", dict(pallas_ffn_block=32, pallas_attn_group=True)),
+    ("test-tiny", dict(dtype="bfloat16")),  # 16-bit cache: masked-select write
+    ("test-tiny", dict(dtype="bfloat16", pallas_ffn_block=32,
+                       pallas_attn_group=True)),
 ])
 def test_pallas_decode_matches_xla(name, kw, rng):
     """Full generate: Pallas fused decode (all layout variants) vs XLA
