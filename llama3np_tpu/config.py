@@ -10,7 +10,7 @@ reference's ``ModelArgs()`` constructor keeps working unchanged.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 

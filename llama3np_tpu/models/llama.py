@@ -17,7 +17,6 @@ so the reference's per-token Python dispatch cost (SURVEY §3.2) never occurs.
 
 from __future__ import annotations
 
-import time
 from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple, Union
 

@@ -15,7 +15,7 @@ are the always-available fallback and the numerics oracle for those kernels.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

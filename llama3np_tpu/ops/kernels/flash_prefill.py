@@ -13,8 +13,6 @@ and the long-context answer to the reference's dense [L, L] score tensor
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

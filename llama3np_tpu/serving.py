@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import itertools
 from functools import partial
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
