@@ -55,7 +55,9 @@ def llama_generate(model: dict, input_ids, max_new_tokens: int):
     args = model["args"]
     ids = np.asarray(input_ids)
     B, L = ids.shape
-    steps = min(max_new_tokens, args.max_seq_len - L)
+    steps = max(min(max_new_tokens, args.max_seq_len - L), 0)
+    if steps == 0:
+        return
     toks = model["engine"].generate_tokens(ids, steps)
     for t in np.asarray(toks).T:
         yield t[:, None].astype(np.int32)

@@ -80,14 +80,13 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
     blockwise = (cfg.kv_block > 0 and L % cfg.kv_block == 0
                  and L >= 2 * cfg.kv_block)
     if first_chunk:
-        # Bucketed prompt lengths (16, 32, ... powers of two) all qualify;
-        # arbitrary unbucketed lengths from direct __call__ use fall back to
-        # the XLA paths rather than exercise untested Mosaic block shapes.
-        flash_ok = (cfg.flash_prefill and L >= 16 and L % 16 == 0
-                    and (L <= 256 or L % 256 == 0))
+        if cfg.flash_prefill:
+            from ..ops.kernels import flash_prefill as fp
+            flash_ok = fp.supports(L)
+        else:
+            flash_ok = False
         if flash_ok:
-            from ..ops.kernels.flash_prefill import flash_prefill
-            attn = flash_prefill(q, k, v)
+            attn = fp.flash_prefill(q, k, v)
         elif blockwise:
             # Long prefill: flash-semantics accumulation bounds peak memory
             # at O(L * kv_block) instead of the O(L^2) dense score tensor.
@@ -284,9 +283,13 @@ class Llama:
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import shard_params, shard_cache
+            # Pallas kernels (incl. flash prefill) are single-chip programs —
+            # GSPMD cannot partition a pallas_call over TP-sharded operands,
+            # so sharded engines keep the pure-XLA paths.
             self.cfg = StaticConfig.from_args(args, prec, fused=False,
                                               unroll=unroll,
-                                              rope_split=rope_split)
+                                              rope_split=rope_split
+                                              )._replace(flash_prefill=False)
             self.params = shard_params(params, mesh, args)
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
@@ -341,7 +344,8 @@ class Llama:
         # Streaming load skips the host-side rope permutation and matmul
         # fusion (both are single-chip decode optimizations).
         self.cfg = StaticConfig.from_args(args, prec, fused=False,
-                                          unroll=unroll, rope_split=False)
+                                          unroll=unroll, rope_split=False
+                                          )._replace(flash_prefill=False)
         self.mesh = mesh
         self.params = load_param_tree_sharded(model_path, args, mesh)
         self._shard_cache = lambda c: shard_cache(c, mesh)

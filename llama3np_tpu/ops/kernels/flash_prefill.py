@@ -21,6 +21,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def supports(L: int) -> bool:
+    """Prompt lengths this kernel's default blocking handles: block shapes
+    must tile L exactly and respect TPU sublane granularity (covers every
+    power-of-two prefill bucket; odd direct-__call__ lengths fall back to the
+    XLA paths)."""
+    return L >= 16 and L % 16 == 0 and (L <= 256 or L % 256 == 0)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
             *, bq: int, bk: int, scale: float, num_kv_blocks: int):
     i = pl.program_id(2)  # q block

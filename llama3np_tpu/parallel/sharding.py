@@ -17,8 +17,7 @@ Layout rules (per stacked weight; leading axis is always layers, unsharded):
     lm_head   [D, VS]        -> shard vocab over "tp"
     embedding [VS, D]        -> shard vocab over "tp"
     norms     [NL, D] / [D]  -> replicated
-    cache k   [NL, B, KVH, HD, M] -> B over "dp", KVH over "tp"
-    cache v   [NL, B, KVH, M, HD] -> B over "dp", KVH over "tp"
+    cache k/v [NL, B, KVH, M, HD] -> B over "dp", KVH over "tp"
 
 GQA constraint: "tp" must divide kv_heads (each shard owns whole KV heads so
 grouped attention stays local; cf. the head-grouping math at reference
@@ -169,17 +168,24 @@ def load_param_tree_sharded(model_path: str, args: ModelArgs, mesh: Mesh,
     materializing the full parameter tree on the host.
 
     Each stacked leaf is created with `jax.make_array_from_callback`: the
-    callback receives a device's shard index and reads ONLY that slice from
-    the lazily-mmapped npz, so peak host memory is one shard (for a 70B
-    tensor-parallel load, ~weights/TP-degree per leaf instead of the whole
-    checkpoint — the host-OOM hazard SURVEY §7 hard-part 4 calls out).
+    callback receives a device's shard index and materializes only that
+    slice, so peak host memory is one layer weight plus one shard (for a 70B
+    tensor-parallel load, far below the whole checkpoint — the host-OOM
+    hazard SURVEY §7 hard-part 4 calls out).  A small decompression cache
+    keeps each npz entry from being re-read once per device shard.
     """
-    import jax.numpy as jnp
+    import functools
 
     validate_tp(args, mesh)
     np_dtype = np.dtype(dtype or args.dtype)
     npz = np.load(model_path)
     specs = param_pspecs(args)
+
+    @functools.lru_cache(maxsize=4)
+    def load_entry(key):
+        # npz entries are zip-compressed; decompress once per entry, not once
+        # per shard callback.
+        return npz[key]
 
     def leaf(shape, spec, read_slice):
         sharding = NamedSharding(mesh, spec)
@@ -191,7 +197,7 @@ def load_param_tree_sharded(model_path: str, args: ModelArgs, mesh: Mesh,
 
     def stacked(fmt, transpose):
         """Reader over the per-layer npz entries for one stacked weight."""
-        first = npz[fmt.format(i=0)]
+        first = load_entry(fmt.format(i=0))
         base_shape = first.T.shape if transpose else first.shape
         shape = (args.n_layers, *base_shape)
 
@@ -200,7 +206,7 @@ def load_param_tree_sharded(model_path: str, args: ModelArgs, mesh: Mesh,
             layers = range(*layer_idx.indices(args.n_layers))
             parts = []
             for i in layers:
-                w = npz[fmt.format(i=i)]
+                w = load_entry(fmt.format(i=i))
                 w = w.T if transpose else w
                 parts.append(np.asarray(w[index[1:]]))
             return np.stack(parts)
@@ -209,12 +215,13 @@ def load_param_tree_sharded(model_path: str, args: ModelArgs, mesh: Mesh,
 
     def plain(key, transpose=False):
         def read_slice(index):
-            w = npz[key]
+            w = load_entry(key)
             w = w.T if transpose else w
             return np.asarray(w[index])
 
-        w = npz[key]
-        shape = w.shape[::-1] if transpose else w.shape
+        shape = load_entry(key).shape
+        if transpose:
+            shape = shape[::-1]
         return shape, read_slice
 
     layer_fmts = {

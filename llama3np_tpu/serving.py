@@ -103,6 +103,8 @@ class BatchEngine:
                       tuple(stop_ids))
         # Validate at submission: a bad request must fail here, not blow up
         # a later step() when it finally gets admitted from the queue.
+        if req.max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         if len(req.prompt_ids) + req.max_new_tokens > self.args.max_seq_len:
             raise ValueError(
                 f"request exceeds max_seq_len: prompt {len(req.prompt_ids)} "
@@ -144,7 +146,10 @@ class BatchEngine:
             # then scatter the dense prefill rows in ONE batched update
             # (per-page .at[].set() would copy the whole pool per page).
             page = self.page_size
-            n_needed = -(-(L + 1) // page)
+            # L + 1 covers tok0's upcoming write; L + budget <= max_seq_len
+            # with budget >= 1 (validated at submit) keeps this in range, and
+            # the min() guards the cap regardless.
+            n_needed = min(-(-(L + 1) // page), self.max_pages)
             pages = self.allocator.alloc(n_needed)
             self._pages[slot] = pages
             self.block_tables[slot] = 0
@@ -182,11 +187,21 @@ class BatchEngine:
 
     def _ensure_pages(self, horizon: int = 1):
         """Grow any active row whose writes within the next `horizon` steps
-        cross into unallocated pages (writes land at pos .. pos+horizon-1)."""
+        cross into unallocated pages (writes land at pos .. pos+horizon-1).
+
+        The horizon is capped per request at its remaining token budget —
+        quantum tokens past a request's budget are discarded, so allocating
+        pages for them could exhaust a tight pool for no benefit."""
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            need = (self.pos[slot] + horizon - 1) // self.page_size
+            # `remaining` emitted tokens need writes at pos..pos+remaining-1
+            # (the in-flight token writes at pos).  Discarded quantum-overrun
+            # tokens write through unallocated block-table entries, which
+            # point at the reserved null page — harmless by construction.
+            remaining = max(req.max_new_tokens - len(req.generated), 0)
+            h = max(min(horizon, remaining), 1)
+            need = (self.pos[slot] + h - 1) // self.page_size
             # Quantum overrun past max_seq_len clamps into the row's last
             # page; those slots are never attended (see step() docstring).
             need = min(need, self.max_pages - 1)
