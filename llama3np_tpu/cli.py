@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
     p.add_argument("--attn-impl", default=None, choices=[None, "auto", "xla", "pallas"])
     p.add_argument("--precision", default=None, choices=[None, "default", "highest"])
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature (0 = greedy, the reference behavior)")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fixed-decode", action="store_true",
                    help="correct decode (disable the reference's strip quirk Q3)")
     p.add_argument("--no-stream", action="store_true")
@@ -78,7 +83,21 @@ def main(argv=None) -> int:
     print(f"\n{args_ns.prompt}", end="")
     ctx = trace(args_ns.trace) if args_ns.trace else _null_ctx()
     with ctx:
-        toks, stats = timed_generate(model, ids, n_new)
+        if args_ns.temperature > 0:
+            import time as _time
+            from .generate import Sampling
+            from .observability import GenerationStats
+            policy = Sampling(temperature=args_ns.temperature,
+                              top_k=args_ns.top_k, top_p=args_ns.top_p,
+                              seed=args_ns.seed)
+            t0 = _time.perf_counter()
+            toks = model.generate_tokens(ids, n_new, sampling=policy)
+            toks = np.asarray(toks)
+            stats = GenerationStats(prompt_tokens=ids.shape[1],
+                                    generated_tokens=n_new,
+                                    decode_s=_time.perf_counter() - t0)
+        else:
+            toks, stats = timed_generate(model, ids, n_new)
     toks = np.asarray(toks)[0]
 
     emitted = 0

@@ -34,20 +34,27 @@ def _last_logits(params, h, true_len, cfg: StaticConfig):
                    preferred_element_type=jnp.float32)
 
 
-def prefill_step(params, ids_padded, true_len, cache, cos, sin,
-                 cfg: StaticConfig):
-    """Prefill a (padded) prompt at position 0.
+def prefill_logits(params, ids_padded, true_len, cache, cos, sin,
+                   cfg: StaticConfig):
+    """Prefill a (padded) prompt at position 0; returns (next-token logits
+    [B, VS], updated cache).
 
     ids_padded: [B, P] with the real prompt in [:, :true_len]; padded tail
     K/V land in cache slots >= true_len but are never attended: decode masks
     to kv_idx <= pos and overwrites those slots one per step.
-
-    Returns (first greedy token [B], updated cache).
     """
     h, cache = forward_hidden(params, ids_padded, jnp.int32(0), cache,
                               cos, sin, cfg, first_chunk=True)
     logits = _last_logits(params, h, true_len, cfg)
-    tok0 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    return logits[:, -1, :], cache
+
+
+def prefill_step(params, ids_padded, true_len, cache, cos, sin,
+                 cfg: StaticConfig):
+    """`prefill_logits` reduced to the first greedy token ([B], cache)."""
+    logits, cache = prefill_logits(params, ids_padded, true_len, cache,
+                                   cos, sin, cfg)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return tok0, cache
 
 
@@ -138,6 +145,61 @@ def pad_prompt(input_ids: np.ndarray, args) -> Tuple[np.ndarray, int]:
 DECODE_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
+# ---------------------------------------------------------------------------
+# Sampling (extension beyond the reference's greedy-only scope)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Sampling:
+    """Token-sampling policy.  temperature == 0 degenerates to greedy.
+    Hashable (static under jit); a policy change recompiles the decode loop
+    once."""
+    temperature: float = 1.0
+    top_k: int = 0        # 0 = disabled
+    top_p: float = 1.0    # 1.0 = disabled
+    seed: int = 0
+
+
+def sample_token(logits, key, sampling: Sampling):
+    """Sample one token per row from [B, VS] f32 logits."""
+    if sampling.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / sampling.temperature
+    if sampling.top_k:
+        kth = jax.lax.top_k(scaled, sampling.top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if sampling.top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs  # exclusive cumsum
+        cutoff_idx = jnp.sum((cum < sampling.top_p).astype(jnp.int32),
+                             axis=-1, keepdims=True) - 1
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled).astype(jnp.int32)
+
+
+def sampled_decode_steps(params, tok, pos, cache, cos, sin, key,
+                         cfg: StaticConfig, num_steps: int,
+                         sampling: Sampling):
+    """`decode_steps` with stochastic token selection; the PRNG key rides the
+    scan carry and splits per step, so streams are reproducible per seed."""
+    def step(carry, _):
+        tok, pos, cache, key = carry
+        logits, cache = forward(params, tok[:, None], pos, cache, cos, sin,
+                                cfg, first_chunk=False)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits[:, -1, :], sub, sampling)
+        return (nxt, pos + 1, cache, key), nxt
+
+    (_, _, cache, _), toks = jax.lax.scan(step, (tok, pos, cache, key),
+                                          length=num_steps)
+    return toks.T, cache
+
+
 class Generator:
     """Compiled-function cache + padding/bucketing around the fused loop."""
 
@@ -147,6 +209,8 @@ class Generator:
         self.cfg = engine.cfg
         self._prefill = jax.jit(partial(prefill_step, cfg=self.cfg),
                                 donate_argnums=(3,))
+        self._prefill_logits = jax.jit(partial(prefill_logits, cfg=self.cfg),
+                                       donate_argnums=(3,))
         self._decode = {}  # (num_steps, batch) -> jitted decode
 
     def _use_pallas(self, batch: int) -> bool:
@@ -185,9 +249,21 @@ class Generator:
             self._decode[key] = jax.jit(fn, donate_argnums=(3,))
         return self._decode[key]
 
+    def sampled_decode_fn(self, num_steps: int, sampling: Sampling):
+        key = (num_steps, "sampled", sampling)
+        if key not in self._decode:
+            self._decode[key] = jax.jit(
+                partial(sampled_decode_steps, cfg=self.cfg,
+                        num_steps=num_steps, sampling=sampling),
+                donate_argnums=(3,),
+            )
+        return self._decode[key]
+
     def generate(self, params, input_ids: np.ndarray, cache: Dict,
-                 num_tokens: int) -> Tuple[jax.Array, Dict]:
-        """Greedy-decode `num_tokens` tokens after the prompt.
+                 num_tokens: int,
+                 sampling: "Sampling | None" = None) -> Tuple[jax.Array, Dict]:
+        """Decode `num_tokens` tokens after the prompt — greedy by default,
+        stochastic with a `Sampling` policy.
 
         input_ids: host int array [B, L].  Returns ([B, num_tokens], cache).
         Requires L + num_tokens <= max_seq_len (the dense cache bound).
@@ -203,8 +279,17 @@ class Generator:
             return jnp.zeros((B, 0), jnp.int32), cache
 
         padded, L = pad_prompt(input_ids, self.args)
-        tok0, cache = self._prefill(params, jnp.asarray(padded),
-                                    jnp.int32(L), cache, eng.cos, eng.sin)
+        stochastic = sampling is not None and sampling.temperature > 0.0
+        if stochastic:
+            rng = jax.random.PRNGKey(sampling.seed)
+            rng, sub = jax.random.split(rng)
+            logits0, cache = self._prefill_logits(
+                params, jnp.asarray(padded), jnp.int32(L), cache,
+                eng.cos, eng.sin)
+            tok0 = sample_token(logits0, sub, sampling)
+        else:
+            tok0, cache = self._prefill(params, jnp.asarray(padded),
+                                        jnp.int32(L), cache, eng.cos, eng.sin)
         if num_tokens == 1:
             return tok0[:, None], cache
 
@@ -217,7 +302,12 @@ class Generator:
         if L + 1 + S > M:
             S = min(-(-rest // 16) * 16, M - L - 1)
             S = max(S, rest)
-        toks, cache = self.decode_fn(S, B)(params, tok0, jnp.int32(L), cache,
-                                           eng.cos, eng.sin)
+        if stochastic:
+            toks, cache = self.sampled_decode_fn(S, sampling)(
+                params, tok0, jnp.int32(L), cache, eng.cos, eng.sin, rng
+            )
+        else:
+            toks, cache = self.decode_fn(S, B)(params, tok0, jnp.int32(L),
+                                               cache, eng.cos, eng.sin)
         out = jnp.concatenate([tok0[:, None], toks[:, :rest]], axis=1)
         return out, cache

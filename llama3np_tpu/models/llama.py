@@ -437,15 +437,18 @@ class Llama:
         self._last_tokens = np.asarray(toks)[:, -1]
         return toks
 
-    def generate_tokens(self, input_ids, num_tokens: int) -> jax.Array:
-        """Fused greedy decode of exactly `num_tokens` new tokens; returns
-        them as [B, num_tokens] on device."""
+    def generate_tokens(self, input_ids, num_tokens: int,
+                        sampling=None) -> jax.Array:
+        """Fused decode of exactly `num_tokens` new tokens; returns them as
+        [B, num_tokens] on device.  Greedy by default; pass a
+        `generate.Sampling` policy for temperature / top-k / top-p."""
         from ..generate import Generator
         if self._gen is None:
             self._gen = Generator(self)
         ids = np.asarray(input_ids)
         toks, self.cache = self._gen.generate(
-            self.params, ids, self.init_cache(ids.shape[0]), num_tokens
+            self.params, ids, self.init_cache(ids.shape[0]), num_tokens,
+            sampling=sampling,
         )
         if num_tokens > 0:
             self._last_pos = ids.shape[1] + num_tokens - 1
