@@ -17,10 +17,22 @@ as sequential grid steps:
     o-projection, and SwiGLU all execute back-to-back with no kernel
     boundaries.
 
+Three grid layouts share one math body (`_make_rope_row` / `_attend_head` /
+`_swiglu_block` / `_write_cache_row`), chosen by the VMEM planner
+(`plan_layout`):
+
+  * whole-layer: grid (layers,) — all of a layer's weights resident
+    (stories15M class);
+  * FFN-blocked: grid (layers, ffn_blocks) — attention weights resident,
+    FFN streamed in column blocks (stories110M class);
+  * KV-head-grouped: grid (layers, kv_heads + ffn_blocks) — attention also
+    streamed per KV-head group; nothing layer-sized resident
+    (TinyLlama class).
+
 Scope (deliberate): batch=1, single-token decode, fused + rope-split param
-layout (checkpoint.fuse_param_tree / permute_rope_layout), whole-layer
-weights resident in VMEM (fine through ~1B-class models; larger models take
-the XLA path or a future sub-blocked variant).
+layout (checkpoint.fuse_param_tree / permute_rope_layout).  8B-class widths
+exceed even the grouped plan (D-sized group blocks); they take the XLA scan,
+which runs near the HBM floor at that scale.
 
 The XLA-path ops in `ops.core` are the numerics oracle; parity is pinned by
 tests/test_pallas.py in interpreter mode and by the bench parity gate on TPU.
@@ -113,6 +125,75 @@ def _row_select(pos, m):
     return row_ids == pos
 
 
+# --- shared kernel math (single source for all three grid layouts) ----------
+
+def _make_rope_row(cos, sin, hd):
+    """Split-halves RoPE on a [1, HD] lane row (cos/sin [1, HD//2])."""
+    def rope_row(row):
+        r1 = row[:, : hd // 2]
+        r2 = row[:, hd // 2 :]
+        return jnp.concatenate(
+            [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
+        )
+    return rope_row
+
+
+def _write_cache_row(out_ref, in_ref, row, pos, m, head=None):
+    """Write `row` [1, HD] at position `pos` of an aliased cache block.
+
+    32-bit caches use a dynamic row store; 16-bit caches (no dynamic sublane
+    stores in Mosaic) use a masked full-block select that also carries the
+    fetched input block.  `head` indexes [KVH, M, HD] blocks — in that 32-bit
+    case the caller must have copied in->out for the whole block already;
+    head=None handles a per-head [M, HD] block completely."""
+    val = row.astype(out_ref.dtype)
+    if jnp.dtype(out_ref.dtype).itemsize == 4:
+        if head is None:
+            out_ref[:] = in_ref[:]
+            out_ref[pl.ds(pos, 1), :] = val
+        else:
+            out_ref[head, pl.ds(pos, 1), :] = val
+    else:
+        sel = _row_select(pos, m)
+        if head is None:
+            out_ref[:] = jnp.where(sel, val, in_ref[:])
+        else:
+            out_ref[head] = jnp.where(sel, val, in_ref[head])
+
+
+def _attend_head(q_rot, ks, vs, visible, inv_sqrt_hd):
+    """One query head against one KV head's cache: masked scores, softmax,
+    probability-weighted values.  q_rot [1, HD]; ks/vs [M, HD] f32;
+    visible [1, M] bool.  Returns [1, HD] f32."""
+    scores = jax.lax.dot_general(
+        q_rot, ks, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_hd
+    scores = jnp.where(visible, scores, -jnp.inf)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    sexp = jnp.exp(scores - smax)
+    probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+    return jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+
+
+def _rms_scale(x, weight_row, eps):
+    """RMSNorm of a [1, D] f32 row against a [1, D] weight ref value."""
+    xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return xn * weight_row.astype(jnp.float32)
+
+
+def _swiglu_block(zn, w_gu, w_dn):
+    """One SwiGLU column block: zn [1, D] f32; w_gu [D, 2f]; w_dn [f, D].
+    Returns the block's partial down-projection [1, D] f32."""
+    fblk = w_dn.shape[0]
+    gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
+                 preferred_element_type=jnp.float32)
+    gate = gu[:, :fblk]
+    ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fblk:]
+    return jnp.dot(ff.astype(w_dn.dtype), w_dn,
+                   preferred_element_type=jnp.float32)
+
+
 def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
                        norm_eps: float):
     nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
@@ -134,87 +215,51 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
         def _():
             x_out_ref[:] = x_ref[:]
 
-        # Aliased output blocks start uninitialized: carry the fetched cache
-        # over (32-bit caches update row `pos` in place below; 16-bit caches
-        # use the masked-select write per head instead).
-        cache_32 = jnp.dtype(k_out_ref.dtype).itemsize == 4
-        if cache_32:
+        # Aliased output blocks start uninitialized: 32-bit caches carry the
+        # fetched block once, then dynamic-store rows; 16-bit caches carry
+        # via the masked-select write per head.
+        if jnp.dtype(k_out_ref.dtype).itemsize == 4:
             k_out_ref[:] = k_in_ref[:]
             v_out_ref[:] = v_in_ref[:]
-        else:
-            row_sel = _row_select(pos, m)
 
         x = x_out_ref[:].astype(jnp.float32)  # [1, D]
 
         # --- attention -----------------------------------------------------
-        xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-        xn = xn * attn_norm_ref[:].astype(jnp.float32)
+        xn = _rms_scale(x, attn_norm_ref[:], eps)
         w_qkv = wqkv_ref[:]
         qkv = jnp.dot(xn.astype(w_qkv.dtype), w_qkv,
                       preferred_element_type=jnp.float32)  # [1, QD+2*KVD]
 
-        cos = cos_ref[:]  # [1, HD//2]
-        sin = sin_ref[:]
-
-        def rope_row(row):  # [1, HD], split-halves layout (lane slices only)
-            r1 = row[:, : hd // 2]
-            r2 = row[:, hd // 2 :]
-            return jnp.concatenate(
-                [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
-            )
+        rope_row = _make_rope_row(cos_ref[:], sin_ref[:], hd)
 
         # Per-KV-head cache row update.  All slicing stays on the lane axis —
         # Mosaic cannot shape-cast lanes into sublanes, so heads are a static
         # Python loop (unrolled in the kernel), not a reshaped dimension.
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-        mask = kv_idx <= pos
+        visible = kv_idx <= pos
         attn_heads = []
         for h_kv in range(kvh):
             k_off = qd + h_kv * hd
             v_off = qd + kvd + h_kv * hd
             k_rot = rope_row(qkv[:, k_off : k_off + hd])           # [1, HD]
             v_new = qkv[:, v_off : v_off + hd]
-            if cache_32:
-                k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
-                v_out_ref[h_kv, pl.ds(pos, 1), :] = v_new.astype(v_out_ref.dtype)
-            else:
-                k_out_ref[h_kv] = jnp.where(
-                    row_sel, k_rot.astype(k_out_ref.dtype), k_in_ref[h_kv])
-                v_out_ref[h_kv] = jnp.where(
-                    row_sel, v_new.astype(v_out_ref.dtype), v_in_ref[h_kv])
+            _write_cache_row(k_out_ref, k_in_ref, k_rot, pos, m, head=h_kv)
+            _write_cache_row(v_out_ref, v_in_ref, v_new, pos, m, head=h_kv)
             ks = k_out_ref[h_kv].astype(jnp.float32)               # [M, HD]
             vs = v_out_ref[h_kv].astype(jnp.float32)
             for h_g in range(g):
                 q_off = (h_kv * g + h_g) * hd
                 q_rot = rope_row(qkv[:, q_off : q_off + hd])       # [1, HD]
-                scores = jax.lax.dot_general(
-                    q_rot, ks, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * inv_sqrt_hd                                    # [1, M]
-                scores = jnp.where(mask, scores, -jnp.inf)
-                smax = jnp.max(scores, axis=-1, keepdims=True)
-                sexp = jnp.exp(scores - smax)
-                probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
-                attn_heads.append(
-                    jnp.dot(probs, vs, preferred_element_type=jnp.float32)
-                )                                                  # [1, HD]
+                attn_heads.append(_attend_head(q_rot, ks, vs, visible,
+                                               inv_sqrt_hd))       # [1, HD]
         attn = jnp.concatenate(attn_heads, axis=-1)                # [1, QD]
         w_o = wo_ref[:]
         h = x + jnp.dot(attn.astype(w_o.dtype), w_o,
                         preferred_element_type=jnp.float32)
 
         # --- FFN -------------------------------------------------------------
-        zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
-        zn = zn * ffn_norm_ref[:].astype(jnp.float32)
-        w_gu = wgu_ref[:]
-        gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
-                     preferred_element_type=jnp.float32)           # [1, 2*FD]
-        fd = wdown_ref.shape[0]
-        gate = gu[:, :fd]
-        ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fd:]
-        w_dn = wdown_ref[:]
-        h = h + jnp.dot(ff.astype(w_dn.dtype), w_dn,
-                        preferred_element_type=jnp.float32)
+        zn = _rms_scale(h, ffn_norm_ref[:], eps)
+        h = h + _swiglu_block(zn, wgu_ref[:], wdown_ref[:])
 
         x_out_ref[:] = h.astype(x_out_ref.dtype)
 
@@ -254,82 +299,44 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         @pl.when(j == 0)
         def _():
-            cache_32 = jnp.dtype(k_out_ref.dtype).itemsize == 4
-            if cache_32:
+            if jnp.dtype(k_out_ref.dtype).itemsize == 4:
                 k_out_ref[:] = k_in_ref[:]
                 v_out_ref[:] = v_in_ref[:]
-            else:
-                row_sel = _row_select(pos, m)
 
             x = x_out_ref[:].astype(jnp.float32)  # [1, D]
-            xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-            xn = xn * attn_norm_ref[:].astype(jnp.float32)
+            xn = _rms_scale(x, attn_norm_ref[:], eps)
             w_qkv = wqkv_ref[:]
             qkv = jnp.dot(xn.astype(w_qkv.dtype), w_qkv,
                           preferred_element_type=jnp.float32)
 
-            cos = cos_ref[:]
-            sin = sin_ref[:]
-
-            def rope_row(row):
-                r1 = row[:, : hd // 2]
-                r2 = row[:, hd // 2 :]
-                return jnp.concatenate(
-                    [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
-                )
-
+            rope_row = _make_rope_row(cos_ref[:], sin_ref[:], hd)
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-            mask = kv_idx <= pos
+            visible = kv_idx <= pos
             attn_heads = []
             for h_kv in range(kvh):
                 k_off = qd + h_kv * hd
                 v_off = qd + kvd + h_kv * hd
                 k_rot = rope_row(qkv[:, k_off : k_off + hd])
                 v_new = qkv[:, v_off : v_off + hd]
-                if cache_32:
-                    k_out_ref[h_kv, pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
-                    v_out_ref[h_kv, pl.ds(pos, 1), :] = v_new.astype(v_out_ref.dtype)
-                else:
-                    k_out_ref[h_kv] = jnp.where(
-                        row_sel, k_rot.astype(k_out_ref.dtype), k_in_ref[h_kv])
-                    v_out_ref[h_kv] = jnp.where(
-                        row_sel, v_new.astype(v_out_ref.dtype), v_in_ref[h_kv])
+                _write_cache_row(k_out_ref, k_in_ref, k_rot, pos, m, head=h_kv)
+                _write_cache_row(v_out_ref, v_in_ref, v_new, pos, m, head=h_kv)
                 ks = k_out_ref[h_kv].astype(jnp.float32)
                 vs = v_out_ref[h_kv].astype(jnp.float32)
                 for h_g in range(g):
                     q_off = (h_kv * g + h_g) * hd
                     q_rot = rope_row(qkv[:, q_off : q_off + hd])
-                    scores = jax.lax.dot_general(
-                        q_rot, ks, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * inv_sqrt_hd
-                    scores = jnp.where(mask, scores, -jnp.inf)
-                    smax = jnp.max(scores, axis=-1, keepdims=True)
-                    sexp = jnp.exp(scores - smax)
-                    probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
-                    attn_heads.append(
-                        jnp.dot(probs, vs, preferred_element_type=jnp.float32)
-                    )
+                    attn_heads.append(_attend_head(q_rot, ks, vs, visible,
+                                                   inv_sqrt_hd))
             attn = jnp.concatenate(attn_heads, axis=-1)
             w_o = wo_ref[:]
             h = x + jnp.dot(attn.astype(w_o.dtype), w_o,
                             preferred_element_type=jnp.float32)
             h_s[:] = h
-            zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
-            zn_s[:] = zn * ffn_norm_ref[:].astype(jnp.float32)
+            zn_s[:] = _rms_scale(h, ffn_norm_ref[:], eps)
             acc_s[:] = jnp.zeros_like(acc_s)
 
         # FFN column block j (every grid step).
-        zn = zn_s[:]
-        w_gu = wgu_ref[:]                  # [D, 2*fblk]
-        fblk = wdown_ref.shape[0]
-        gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
-                     preferred_element_type=jnp.float32)
-        gate = gu[:, :fblk]
-        ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fblk:]
-        w_dn = wdown_ref[:]                # [fblk, D]
-        acc_s[:] = acc_s[:] + jnp.dot(ff.astype(w_dn.dtype), w_dn,
-                                      preferred_element_type=jnp.float32)
+        acc_s[:] = acc_s[:] + _swiglu_block(zn_s[:], wgu_ref[:], wdown_ref[:])
 
         @pl.when(j == nb - 1)
         def _():
@@ -434,19 +441,10 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
         @pl.when(j == 0)
         def _():
             x = x_out_ref[:].astype(jnp.float32)
-            xn = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-            xn_s[:] = xn * attn_norm_ref[:].astype(jnp.float32)
+            xn_s[:] = _rms_scale(x, attn_norm_ref[:], eps)
             hacc_s[:] = jnp.zeros_like(hacc_s)
 
-        cos = cos_ref[:]
-        sin = sin_ref[:]
-
-        def rope_row(row):
-            r1 = row[:, : hd // 2]
-            r2 = row[:, hd // 2 :]
-            return jnp.concatenate(
-                [r1 * cos - r2 * sin, r1 * sin + r2 * cos], axis=-1
-            )
+        rope_row = _make_rope_row(cos_ref[:], sin_ref[:], hd)
 
         @pl.when(j < kvh)
         def _():
@@ -457,35 +455,16 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
                           preferred_element_type=jnp.float32)
             k_rot = rope_row(qkv[:, gw : gw + hd])
             v_new = qkv[:, gw + hd :]
-            if jnp.dtype(k_out_ref.dtype).itemsize == 4:
-                k_out_ref[:] = k_in_ref[:]
-                v_out_ref[:] = v_in_ref[:]
-                k_out_ref[pl.ds(pos, 1), :] = k_rot.astype(k_out_ref.dtype)
-                v_out_ref[pl.ds(pos, 1), :] = v_new.astype(v_out_ref.dtype)
-            else:
-                row_sel = _row_select(pos, m)
-                k_out_ref[:] = jnp.where(
-                    row_sel, k_rot.astype(k_out_ref.dtype), k_in_ref[:])
-                v_out_ref[:] = jnp.where(
-                    row_sel, v_new.astype(v_out_ref.dtype), v_in_ref[:])
+            _write_cache_row(k_out_ref, k_in_ref, k_rot, pos, m)
+            _write_cache_row(v_out_ref, v_in_ref, v_new, pos, m)
             ks = k_out_ref[:].astype(jnp.float32)   # [M, HD]
             vs = v_out_ref[:].astype(jnp.float32)
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-            mask = kv_idx <= pos
+            visible = kv_idx <= pos
             heads = []
             for h_g in range(g):
                 q_rot = rope_row(qkv[:, h_g * hd : (h_g + 1) * hd])
-                scores = jax.lax.dot_general(
-                    q_rot, ks, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * inv_sqrt_hd
-                scores = jnp.where(mask, scores, -jnp.inf)
-                smax = jnp.max(scores, axis=-1, keepdims=True)
-                sexp = jnp.exp(scores - smax)
-                probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
-                heads.append(
-                    jnp.dot(probs, vs, preferred_element_type=jnp.float32)
-                )
+                heads.append(_attend_head(q_rot, ks, vs, visible, inv_sqrt_hd))
             attn = jnp.concatenate(heads, axis=-1)   # [1, G*HD]
             w_o = wo_ref[:]                          # [G*HD, D]
             hacc_s[:] = hacc_s[:] + jnp.dot(
@@ -496,23 +475,13 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
         def _():
             h = x_out_ref[:].astype(jnp.float32) + hacc_s[:]
             hacc_s[:] = h
-            zn = h * jax.lax.rsqrt(jnp.mean(h * h, axis=-1, keepdims=True) + eps)
-            zn_s[:] = zn * ffn_norm_ref[:].astype(jnp.float32)
+            zn_s[:] = _rms_scale(h, ffn_norm_ref[:], eps)
             facc_s[:] = jnp.zeros_like(facc_s)
 
         @pl.when(j >= kvh)
         def _():
-            zn = zn_s[:]
-            w_gu = wgu_ref[:]
-            fblk = wdown_ref.shape[0]
-            gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
-                         preferred_element_type=jnp.float32)
-            gate = gu[:, :fblk]
-            ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fblk:]
-            w_dn = wdown_ref[:]
-            facc_s[:] = facc_s[:] + jnp.dot(
-                ff.astype(w_dn.dtype), w_dn,
-                preferred_element_type=jnp.float32)
+            facc_s[:] = facc_s[:] + _swiglu_block(zn_s[:], wgu_ref[:],
+                                                  wdown_ref[:])
 
         @pl.when(j == nsteps - 1)
         def _():
