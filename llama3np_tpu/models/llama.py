@@ -236,6 +236,27 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     return logits, {"k": ck_new, "v": cv_new}
 
 
+def sample_rows(logits, key, temps, top_k: int = 0, top_p: float = 1.0):
+    """Per-row sampling for batched serving: logits [B, VS] f32, temps [B]
+    (0 = greedy for that row), one PRNG key per step.  top_k/top_p are
+    engine-wide static knobs."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if top_k:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs
+        cutoff_idx = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1,
+                             keepdims=True) - 1
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    drawn = jax.random.categorical(key, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, drawn, greedy)
+
+
 def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
                         cfg: StaticConfig, num_steps: int, block_table=None):
     """`num_steps` ragged decode steps as one lax.scan (the serving decode
@@ -253,6 +274,25 @@ def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
 
     (_, _, cache), toks = jax.lax.scan(step, (tokens, pos, cache),
                                        length=num_steps)
+    return toks.T, cache
+
+
+def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
+                                cos, sin, key, temps, cfg: StaticConfig,
+                                num_steps: int, top_k: int = 0,
+                                top_p: float = 1.0, block_table=None):
+    """`ragged_decode_steps` with per-row sampling (temps[b] == 0 keeps that
+    row greedy), for serving engines with mixed-policy batches."""
+    def step(carry, _):
+        tok, p, cache, key = carry
+        logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
+                                              cfg, block_table)
+        key, sub = jax.random.split(key)
+        nxt = sample_rows(logits, sub, temps, top_k, top_p)
+        return (nxt, p + 1, cache, key), nxt
+
+    (_, _, cache, _), toks = jax.lax.scan(step, (tokens, pos, cache, key),
+                                          length=num_steps)
     return toks.T, cache
 
 

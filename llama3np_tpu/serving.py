@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .generate import prefill_step
-from .models.llama import forward_ragged_decode, ragged_decode_steps
+from .models.llama import (forward_ragged_decode, ragged_decode_steps,
+                           sample_rows, sampled_ragged_decode_steps)
 
 
 @dataclasses.dataclass
@@ -37,6 +38,7 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int
     stop_ids: tuple = (1, 2)  # bos/eos, the reference's stop set (quirk Q6)
+    temperature: float = 0.0  # 0 = greedy (the reference behavior)
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     slot: Optional[int] = None
@@ -57,7 +59,8 @@ class BatchEngine:
     """
 
     def __init__(self, engine, capacity: int = 8, paged: bool = False,
-                 page_size: int = 16, num_pages: Optional[int] = None):
+                 page_size: int = 16, num_pages: Optional[int] = None,
+                 top_k: int = 0, top_p: float = 1.0, sampling_seed: int = 0):
         self.engine = engine
         self.args = engine.args
         self.cfg = engine.cfg
@@ -79,28 +82,44 @@ class BatchEngine:
             self.cache = init_cache(self.args, capacity)
         self.pos = np.zeros(capacity, np.int32)       # next write position
         self.tokens = np.zeros(capacity, np.int32)    # last token per slot
+        # Per-slot sampling temperature (0 = greedy); top_k/top_p are
+        # engine-wide static knobs.  Note: sampled streams depend on the
+        # engine's shared key sequence, hence on co-scheduling; greedy rows
+        # are deterministic regardless.
+        self.temps = np.zeros(capacity, np.float32)
+        self.top_k = top_k
+        self.top_p = top_p
+        self._key = jax.random.PRNGKey(sampling_seed)
         self.slots: List[Optional[Request]] = [None] * capacity
         self._ids = itertools.count()
         self._queue: List[Request] = []
         self._prefill = jax.jit(partial(prefill_step, cfg=self.cfg))
+        from .generate import prefill_logits
+        self._prefill_logits = jax.jit(partial(prefill_logits, cfg=self.cfg))
         self._step = jax.jit(partial(forward_ragged_decode, cfg=self.cfg),
                              donate_argnums=(3,))
-        self._step_n = {}  # quantum -> jitted multi-step scan
+        self._step_n = {}  # (quantum, sampled) -> jitted multi-step scan
 
-    def _step_n_fn(self, n: int):
-        if n not in self._step_n:
-            self._step_n[n] = jax.jit(
-                partial(ragged_decode_steps, cfg=self.cfg, num_steps=n),
-                donate_argnums=(3,),
-            )
-        return self._step_n[n]
+    def _step_n_fn(self, n: int, sampled: bool = False):
+        key = (n, sampled)
+        if key not in self._step_n:
+            if sampled:
+                fn = partial(sampled_ragged_decode_steps, cfg=self.cfg,
+                             num_steps=n, top_k=self.top_k, top_p=self.top_p)
+            else:
+                fn = partial(ragged_decode_steps, cfg=self.cfg, num_steps=n)
+            self._step_n[key] = jax.jit(fn, donate_argnums=(3,))
+        return self._step_n[key]
+
+    def _sampling_active(self) -> bool:
+        return bool((self.temps > 0).any())
 
     # -- admission -----------------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens: int,
-               stop_ids=(1, 2)) -> Request:
+               stop_ids=(1, 2), temperature: float = 0.0) -> Request:
         req = Request(next(self._ids), list(prompt_ids), max_new_tokens,
-                      tuple(stop_ids))
+                      tuple(stop_ids), temperature)
         # Validate at submission: a bad request must fail here, not blow up
         # a later step() when it finally gets admitted from the queue.
         if req.max_new_tokens < 1:
@@ -138,9 +157,18 @@ class BatchEngine:
                                self.args)
         from .kvcache import init_cache
         row_cache = init_cache(self.args, 1)
-        tok0, row_cache = self._prefill(eng.params, jnp.asarray(padded),
-                                        jnp.int32(L), row_cache,
-                                        eng.cos, eng.sin)
+        if req.temperature > 0:
+            logits0, row_cache = self._prefill_logits(
+                eng.params, jnp.asarray(padded), jnp.int32(L), row_cache,
+                eng.cos, eng.sin)
+            self._key, sub = jax.random.split(self._key)
+            tok0 = sample_rows(logits0, sub,
+                               jnp.asarray([req.temperature], np.float32),
+                               self.top_k, self.top_p)
+        else:
+            tok0, row_cache = self._prefill(eng.params, jnp.asarray(padded),
+                                            jnp.int32(L), row_cache,
+                                            eng.cos, eng.sin)
         if self.paged:
             # Allocate pages covering the prompt plus tok0's upcoming write,
             # then scatter the dense prefill rows in ONE batched update
@@ -174,6 +202,7 @@ class BatchEngine:
         first = int(np.asarray(tok0)[0])
         req.slot = slot
         self.slots[slot] = req
+        self.temps[slot] = req.temperature
         req.generated.append(first)
         self.tokens[slot] = first
         self.pos[slot] = L  # `first`'s own position; written by next step
@@ -226,19 +255,35 @@ class BatchEngine:
         if self.paged:
             self._ensure_pages(quantum)
             kwargs["block_table"] = jnp.asarray(self.block_tables)
+        sampled = self._sampling_active()
         if quantum == 1:
             logits, self.cache = self._step(
                 self.engine.params, jnp.asarray(self.tokens),
                 jnp.asarray(self.pos), self.cache,
                 self.engine.cos, self.engine.sin, **kwargs,
             )
-            toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)[:, None]
+            if sampled:
+                self._key, sub = jax.random.split(self._key)
+                nxt = sample_rows(logits, sub, jnp.asarray(self.temps),
+                                  self.top_k, self.top_p)
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
+            toks = np.asarray(nxt, np.int32)[:, None]
         else:
-            toks, self.cache = self._step_n_fn(quantum)(
-                self.engine.params, jnp.asarray(self.tokens),
-                jnp.asarray(self.pos), self.cache,
-                self.engine.cos, self.engine.sin, **kwargs,
-            )
+            if sampled:
+                self._key, sub = jax.random.split(self._key)
+                toks, self.cache = self._step_n_fn(quantum, sampled=True)(
+                    self.engine.params, jnp.asarray(self.tokens),
+                    jnp.asarray(self.pos), self.cache,
+                    self.engine.cos, self.engine.sin, sub,
+                    jnp.asarray(self.temps), **kwargs,
+                )
+            else:
+                toks, self.cache = self._step_n_fn(quantum)(
+                    self.engine.params, jnp.asarray(self.tokens),
+                    jnp.asarray(self.pos), self.cache,
+                    self.engine.cos, self.engine.sin, **kwargs,
+                )
             toks = np.asarray(toks, np.int32)  # [B, quantum]
         finished = []
         for slot, req in enumerate(self.slots):
@@ -263,6 +308,7 @@ class BatchEngine:
                 req.generated.pop()  # stop token is not emitted
             req.done = True
             self.slots[req.slot] = None
+            self.temps[req.slot] = 0.0
             if self.paged:
                 self.allocator.free(self._pages[req.slot])
                 self._pages[req.slot] = []

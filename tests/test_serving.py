@@ -134,6 +134,27 @@ def test_paged_pool_exhaustion(setup, rng):
         be.submit(rng.integers(3, args.vocab_size, size=20).tolist(), 8)
 
 
+def test_mixed_greedy_and_sampled_requests(setup, rng):
+    """A sampled request must not perturb a co-tenant greedy request's
+    stream; sampled rows stay within the vocab and finish on budget."""
+    args, weights, engine = setup
+    pg = rng.integers(3, args.vocab_size, size=5).tolist()
+    ps = rng.integers(3, args.vocab_size, size=6).tolist()
+    want = solo_stream(engine, pg, 8)
+
+    be = BatchEngine(engine, capacity=2, top_k=50)
+    r_greedy = be.submit(pg, 8)
+    r_sampled = be.submit(ps, 8, temperature=1.0)
+    for _ in range(30):
+        if be.num_active == 0:
+            break
+        be.step(quantum=3)
+    assert r_greedy.done and r_sampled.done
+    assert r_greedy.generated == want
+    assert all(0 <= t < args.vocab_size for t in r_sampled.generated)
+    assert len(r_sampled.generated) <= 8
+
+
 def test_max_seq_len_guard(setup):
     args, weights, engine = setup
     be = BatchEngine(engine, capacity=1)
