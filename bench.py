@@ -7,9 +7,16 @@ Prints exactly ONE JSON line:
 
 vs_baseline is measured against the reference's README headline of 33 tokens/s
 (reference README.md:20; see BASELINE.md).  Weights are synthetic at exactly
-the stories15M shape — throughput is weight-value independent — and greedy
-parity vs the NumPy oracle is asserted on the same weights before timing
-(warnings to stderr only; stdout stays one line).
+the stories15M shape (the real stories15M.model.npz blob is absent from this
+environment; throughput is weight-value independent) unless a real
+``./stories15M.model.npz`` exists, in which case it is used.  Greedy parity
+vs the NumPy oracle on the same weights is a HARD gate: divergence or a
+parity-check error exits nonzero with NO JSON line, so a published number
+always reflects a correct model.
+
+Env knobs (testing the gate itself): BENCH_DECODE_TOKENS overrides the scan
+length; BENCH_CORRUPT=1 perturbs one weight after the oracle is built, which
+must make the gate fail.
 """
 
 import json
@@ -27,40 +34,65 @@ DECODE_TOKENS = 512  # long scan amortizes the host<->device roundtrip
 PROMPT = [1, 76, 505, 263, 12561]  # "I have a dream" (reference tokenizer)
 
 
+def _honor_platform_env():
+    """The axon TPU plugin's sitecustomize overrides JAX_PLATFORMS=cpu; undo
+    it when the env var explicitly asks for cpu (CI tests the parity gate on
+    the virtual backend)."""
+    if os.environ.get("JAX_PLATFORMS") != "cpu":
+        return
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        from jax._src import xla_bridge as _xb
+
+        if _xb.backends_are_initialized():
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _honor_platform_env()
     from llama3np_tpu import preset, synthetic_weights, build_param_tree, NumpyLlama
     from llama3np_tpu.models.llama import Llama
     import jax
 
     args = preset("stories15M", max_seq_len=1024, decode_token_unroll=4)
-    weights = synthetic_weights(args, seed=0)
+    if os.path.exists("stories15M.model.npz"):
+        weights = dict(np.load("stories15M.model.npz"))
+        print("bench: using real ./stories15M.model.npz weights", file=sys.stderr)
+    else:
+        weights = synthetic_weights(args, seed=0)
+        print("bench: real checkpoint absent; synthetic stories15M-shaped "
+              "weights (throughput is weight-value independent)", file=sys.stderr)
     engine = Llama(weights, args)
-    gen_tokens = DECODE_TOKENS
+    gen_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", DECODE_TOKENS))
     ids = np.array([PROMPT], np.int32)
 
     # --- parity gate (greedy stream vs NumPy oracle) -----------------------
-    # Warm the generator first so a parity-path failure can't leave the
-    # measurement without a compiled engine.
-    engine.generate_tokens(ids, 1)
-    try:
-        oracle = NumpyLlama(build_param_tree(weights, args), args)
-        n_check = 32
-        got = np.asarray(engine.generate_tokens(ids, n_check))[0].tolist()
-        want = []
-        for t in oracle.generate(ids, n_check + ids.shape[1]):
-            want.append(int(t[0, -1]))
-            if len(want) == n_check:
-                break
-        if got != want:
-            diverge = next(
-                (i for i, (a, b) in enumerate(zip(got, want)) if a != b), None
-            )
-            print(f"bench: WARNING greedy divergence vs NumPy oracle at "
-                  f"token {diverge}: {got[:8]} vs {want[:8]}", file=sys.stderr)
-        else:
-            print(f"bench: greedy parity OK ({n_check} tokens)", file=sys.stderr)
-    except Exception as e:  # parity must never kill the measurement
-        print(f"bench: parity check failed to run: {e}", file=sys.stderr)
+    # HARD gate: any divergence or parity-check error means no JSON line and
+    # a nonzero exit — a published throughput number implies a correct model.
+    oracle = NumpyLlama(build_param_tree(weights, args), args)
+    if os.environ.get("BENCH_CORRUPT"):  # self-test hook for the gate
+        engine.params["layers"]["wo"] = (
+            engine.params["layers"]["wo"].at[0].multiply(-1.0)
+        )
+    n_check = 32
+    got = np.asarray(engine.generate_tokens(ids, n_check))[0].tolist()
+    want = []
+    for t in oracle.generate(ids, n_check + ids.shape[1]):
+        want.append(int(t[0, -1]))
+        if len(want) == n_check:
+            break
+    if got != want:
+        diverge = next(
+            (i for i, (a, b) in enumerate(zip(got, want)) if a != b), None
+        )
+        print(f"bench: FATAL greedy divergence vs NumPy oracle at "
+              f"token {diverge}: {got[:8]} vs {want[:8]}", file=sys.stderr)
+        sys.exit(1)
+    print(f"bench: greedy parity OK ({n_check} tokens)", file=sys.stderr)
 
     # --- warmup (compile prefill + decode buckets) -------------------------
     gen = engine._gen

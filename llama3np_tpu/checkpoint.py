@@ -169,9 +169,17 @@ def load_param_tree(model_path: str, args: ModelArgs, dtype=None) -> Dict:
     return build_param_tree(load_parameters(model_path), args, dtype)
 
 
-def infer_args_from_weights(weights, base: Optional[ModelArgs] = None) -> ModelArgs:
+def infer_args_from_weights(weights, base: Optional[ModelArgs] = None,
+                            n_heads: Optional[int] = None) -> ModelArgs:
     """Derive structural hyperparameters (dim, n_layers, hidden_dim, vocab,
-    kv heads) from weight shapes; non-structural fields come from `base`."""
+    kv heads) from weight shapes; non-structural fields come from `base`.
+
+    `n_heads` is NOT recoverable from weight shapes (under MHA every head
+    count divides the same [dim, dim] projections), so it must come from
+    either the explicit `n_heads` argument or a `base` whose `dim` matches
+    the checkpoint — anything else raises rather than silently guessing a
+    structurally wrong config.
+    """
     keys = list(_keys(weights))
     n_layers = 1 + max(
         int(k.split(".")[2]) for k in keys if k.startswith("model.layers.")
@@ -180,11 +188,26 @@ def infer_args_from_weights(weights, base: Optional[ModelArgs] = None) -> ModelA
     hidden = weights["model.layers.0.mlp.gate_proj.weight"].shape[0]
     kv_out = weights["model.layers.0.self_attn.k_proj.weight"].shape[0]
     base = base or ModelArgs()
-    n_heads = base.n_heads if base.dim == dim else max(1, dim // 64)
+    if n_heads is None:
+        if base.dim != dim:
+            raise ValueError(
+                f"cannot infer n_heads: checkpoint dim={dim} does not match "
+                f"base config dim={base.dim} (head counts are not recoverable "
+                f"from weight shapes — pass n_heads= explicitly or a matching "
+                f"base ModelArgs/preset)"
+            )
+        n_heads = base.n_heads
+    if dim % n_heads:
+        raise ValueError(f"n_heads={n_heads} does not divide dim={dim}")
     head_dim = dim // n_heads
+    if kv_out % head_dim:
+        raise ValueError(
+            f"k_proj out dim {kv_out} is not a multiple of head_dim "
+            f"{head_dim} (dim={dim}, n_heads={n_heads})"
+        )
     return base.replace(
         dim=dim, n_layers=n_layers, vocab_size=vs, hidden_dim=hidden,
-        n_kv_heads=(kv_out // head_dim) if kv_out != dim else None,
+        n_heads=n_heads, n_kv_heads=(kv_out // head_dim) if kv_out != dim else None,
     )
 
 

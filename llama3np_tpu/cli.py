@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "tinyllama-1.1b, llama3-8b, llama3-70b)")
     p.add_argument("--max-new-tokens", type=int, default=None,
                    help="number of NEW tokens (default: preset budget)")
-    p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
+    p.add_argument("--dtype", default=None,
+                   choices=[None, "float32", "bfloat16", "float16"])
     p.add_argument("--attn-impl", default=None, choices=[None, "auto", "xla", "pallas"])
     p.add_argument("--precision", default=None, choices=[None, "default", "highest"])
     p.add_argument("--temperature", type=float, default=0.0,
@@ -45,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the generation")
     p.add_argument("--debug-stats", action="store_true",
                    help="one-shot per-op tensor-stats trace of the forward")
+    p.add_argument("--debug-log-dir", default=None, metavar="DIR",
+                   help="also write the per-op tensor-stats trace to a "
+                        "rotating debug log in DIR (reference debug-build "
+                        "sink, debug/debug_llama3.py:31-50); implies the "
+                        "trace itself")
     p.add_argument("--run-log", default=None, metavar="PATH",
                    help="append a JSONL record of this run")
     p.add_argument("--synthetic", action="store_true",
@@ -76,8 +82,15 @@ def main(argv=None) -> int:
         n_new = max(margs.max_new_tokens - ids.shape[1], 0)
     n_new = min(n_new, margs.max_seq_len - ids.shape[1])
 
-    if args_ns.debug_stats:
-        debug_trace_forward(model, ids, 0, emit=lambda s: print(s, file=sys.stderr))
+    if args_ns.debug_stats or args_ns.debug_log_dir:
+        sinks = []
+        if args_ns.debug_stats:
+            sinks.append(lambda s: print(s, file=sys.stderr))
+        if args_ns.debug_log_dir:
+            from .observability import make_debug_logger
+            sinks.append(make_debug_logger(args_ns.debug_log_dir).debug)
+        debug_trace_forward(model, ids, 0,
+                            emit=lambda s: [sink(s) for sink in sinks])
         model.reset()
 
     print(f"\n{args_ns.prompt}", end="")

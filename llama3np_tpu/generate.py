@@ -301,7 +301,7 @@ class Generator:
         S = _bucket(rest, DECODE_BUCKETS)
         if L + 1 + S > M:
             S = min(-(-rest // 16) * 16, M - L - 1)
-            S = max(S, rest)
+            assert rest <= S, (rest, S, L, M)  # guaranteed by the bound check
         if stochastic:
             toks, cache = self.sampled_decode_fn(S, sampling)(
                 params, tok0, jnp.int32(L), cache, eng.cos, eng.sin, rng

@@ -159,9 +159,13 @@ def make_debug_logger(log_dir: str = "output/debug",
                       max_bytes: int = 10 * 1024 * 1024,
                       backups: int = 5) -> logging.Logger:
     """Rotating-file debug logger (the reference debug build's sink shape:
-    10 MB x 5 rotation, reference debug/debug_llama3.py:31-40)."""
+    10 MB x 5 rotation, reference debug/debug_llama3.py:31-40).  One logger
+    per directory; repeat calls for the same dir reuse the same file.  Fed by
+    `debug_trace_forward` via the CLI's ``--debug-log-dir``."""
     os.makedirs(log_dir, exist_ok=True)
-    logger = logging.getLogger("llama3np_tpu.debug")
+    logger = logging.getLogger(
+        f"llama3np_tpu.debug.{os.path.abspath(log_dir)}"
+    )
     if not logger.handlers:
         handler = logging.handlers.RotatingFileHandler(
             os.path.join(log_dir, f"llama3np_tpu_debug_{int(time.time())}.log"),
@@ -170,6 +174,7 @@ def make_debug_logger(log_dir: str = "output/debug",
         handler.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
         logger.addHandler(handler)
         logger.setLevel(logging.DEBUG)
+        logger.propagate = False
     return logger
 
 

@@ -36,6 +36,28 @@ def test_extended_cli_synthetic(capsys, tmp_path):
     assert rec["preset"] == "test-tiny"
 
 
+@needs_real_vocab
+def test_cli_debug_log_dir(tmp_path):
+    """--debug-log-dir writes the per-op tensor-stats trace to a rotating
+    file (reference debug/debug_llama3.py:31-50 sink behavior)."""
+    from llama3np_tpu.cli import main
+
+    logdir = tmp_path / "dbg"
+    rc = main([
+        "--synthetic", "--preset", "test-tiny", "--tokenizer",
+        REFERENCE_TOKENIZER, "--max-new-tokens", "2",
+        "--debug-log-dir", str(logdir), "hello",
+    ])
+    assert rc == 0
+    files = list(logdir.glob("llama3np_tpu_debug_*.log"))
+    assert len(files) == 1
+    text = files[0].read_text()
+    for checkpoint in ["input_ids", "embedding", "rope_xq", "k_cache",
+                       "attn_out", "block_out", "logits"]:
+        assert checkpoint in text
+    assert "dtype=" in text and "mean=" in text
+
+
 def test_functional_api_shim(tiny_args, tiny_weights, tmp_path, rng):
     """Root llama3_simple.py exposes the reference functional twin's API and
     count semantics (up to max_new_tokens NEW tokens)."""
