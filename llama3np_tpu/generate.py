@@ -226,8 +226,8 @@ class Generator:
         # FFN streamed in column blocks, or attention additionally streamed
         # per KV-head group (the engine already laid the params out
         # accordingly); None means even the streamed forms exceed VMEM, so
-        # the XLA scan applies.  16-bit caches use the masked-select row
-        # write inside the kernels.
+        # the XLA scan applies.  Caches are read-only inside the kernels
+        # (new rows scattered by XLA afterwards), so any cache dtype works.
         if self.args.pallas_ffn_block is None:
             from .ops.kernels.decode_step import plan_layout
             if plan_layout(self.args) is None:

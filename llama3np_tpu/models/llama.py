@@ -236,10 +236,21 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     return logits, {"k": ck_new, "v": cv_new}
 
 
-def sample_rows(logits, key, temps, top_k: int = 0, top_p: float = 1.0):
+def fold_row_keys(base_key, rids, ctrs):
+    """Per-row PRNG keys [B]: fold_in(fold_in(base, request_id), token_index).
+
+    A request's stream is a pure function of (engine seed, request_id,
+    token index) — independent of co-tenants, admission timing, and decode
+    quantum size."""
+    def one(rid, ctr):
+        return jax.random.fold_in(jax.random.fold_in(base_key, rid), ctr)
+    return jax.vmap(one)(rids, ctrs)
+
+
+def sample_rows(logits, keys, temps, top_k: int = 0, top_p: float = 1.0):
     """Per-row sampling for batched serving: logits [B, VS] f32, temps [B]
-    (0 = greedy for that row), one PRNG key per step.  top_k/top_p are
-    engine-wide static knobs."""
+    (0 = greedy for that row), keys [B] per-row PRNG keys (fold_row_keys).
+    top_k/top_p are engine-wide static knobs."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     if top_k:
@@ -253,7 +264,9 @@ def sample_rows(logits, key, temps, top_k: int = 0, top_p: float = 1.0):
                              keepdims=True) - 1
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
-    drawn = jax.random.categorical(key, scaled).astype(jnp.int32)
+    drawn = jax.vmap(
+        lambda k, row: jax.random.categorical(k, row)
+    )(keys, scaled).astype(jnp.int32)
     return jnp.where(temps > 0, drawn, greedy)
 
 
@@ -278,20 +291,25 @@ def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
 
 
 def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
-                                cos, sin, key, temps, cfg: StaticConfig,
-                                num_steps: int, top_k: int = 0,
-                                top_p: float = 1.0, block_table=None):
+                                cos, sin, base_key, rids, ctrs, temps,
+                                cfg: StaticConfig, num_steps: int,
+                                top_k: int = 0, top_p: float = 1.0,
+                                block_table=None):
     """`ragged_decode_steps` with per-row sampling (temps[b] == 0 keeps that
-    row greedy), for serving engines with mixed-policy batches."""
+    row greedy), for serving engines with mixed-policy batches.
+
+    rids/ctrs: [B] int32 request ids and per-request token indices — step i
+    samples row b with fold_row_keys(base_key, rids[b], ctrs[b] + i), so
+    streams are schedule-independent (ADVICE r1 #1)."""
     def step(carry, _):
-        tok, p, cache, key = carry
+        tok, p, ctr, cache = carry
         logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
                                               cfg, block_table)
-        key, sub = jax.random.split(key)
-        nxt = sample_rows(logits, sub, temps, top_k, top_p)
-        return (nxt, p + 1, cache, key), nxt
+        keys = fold_row_keys(base_key, rids, ctr)
+        nxt = sample_rows(logits, keys, temps, top_k, top_p)
+        return (nxt, p + 1, ctr + 1, cache), nxt
 
-    (_, _, cache, _), toks = jax.lax.scan(step, (tokens, pos, cache, key),
+    (_, _, _, cache), toks = jax.lax.scan(step, (tokens, pos, ctrs, cache),
                                           length=num_steps)
     return toks.T, cache
 

@@ -9,8 +9,16 @@ as sequential grid steps:
 
   * per grid step `l`, BlockSpecs stream layer `l`'s weights HBM->VMEM
     (Mosaic double-buffers them against the previous layer's compute);
-  * the KV caches are aliased in/out (`input_output_aliases`) and updated
-    at row `pos`;
+  * the KV caches are READ-ONLY inputs; the current token's K/V never
+    enters them inside the kernel.  Attention masks the cache to
+    `kv_idx < pos` and appends the new token's score/value explicitly in
+    the softmax (same math, and row `pos` — which may hold a padded prefill
+    tail or a recycled serving slot — is never attended).  The kernel emits
+    the new rows as a tiny [NL, KVH, HD] output and the caller scatters
+    them with one in-place XLA dynamic-update-slice.  This halves cache
+    HBM traffic (no full-block write-back) and sidesteps Mosaic's 16-bit
+    dynamic-store limits entirely, so bf16 caches run the fused kernel at
+    full speed;
   * the hidden state lives in the output block (same block every step), so
     it stays resident in VMEM across layers;
   * RMSNorm, fused QKV matmul, split-halves RoPE, masked cache attention,
@@ -18,8 +26,7 @@ as sequential grid steps:
     boundaries.
 
 Three grid layouts share one math body (`_make_rope_row` / `_attend_head` /
-`_swiglu_block` / `_write_cache_row`), chosen by the VMEM planner
-(`plan_layout`):
+`_swiglu_block`), chosen by the VMEM planner (`plan_layout`):
 
   * whole-layer: grid (layers,) — all of a layer's weights resident
     (stories15M class);
@@ -117,12 +124,20 @@ def plan_layout(args):
     return None
 
 
-def _row_select(pos, m):
-    """[M, 1] mask selecting row `pos` — the 16-bit cache-write form (Mosaic
-    has no dynamic sublane stores on 16-bit tiles; a masked full-block select
-    over the already-resident VMEM block replaces the row store)."""
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    return row_ids == pos
+def _scatter_rows(k_cache, v_cache, k_rows, v_rows, pos):
+    """Write the kernel-emitted new K/V rows into the caches at `pos` with
+    one XLA dynamic-update-slice each (in place under jit — the caches' only
+    later use is as the next step's carry).  k_rows/v_rows: [NL, 1, KVH*HD]
+    (lane-major, Mosaic cannot concatenate along sublanes) or
+    [NL, KVH, 1, HD] from the grouped layout."""
+    nl, kvh, m, hd = k_cache.shape
+    if k_rows.ndim == 3:  # [NL, 1, KVH*HD] -> [NL, KVH, 1, HD]
+        k_rows = k_rows.reshape(nl, 1, kvh, hd).transpose(0, 2, 1, 3)
+        v_rows = v_rows.reshape(nl, 1, kvh, hd).transpose(0, 2, 1, 3)
+    zero = jnp.int32(0)
+    start = (zero, zero, pos.astype(jnp.int32), zero)
+    return (jax.lax.dynamic_update_slice(k_cache, k_rows, start),
+            jax.lax.dynamic_update_slice(v_cache, v_rows, start))
 
 
 # --- shared kernel math (single source for all three grid layouts) ----------
@@ -138,42 +153,27 @@ def _make_rope_row(cos, sin, hd):
     return rope_row
 
 
-def _write_cache_row(out_ref, in_ref, row, pos, m, head=None):
-    """Write `row` [1, HD] at position `pos` of an aliased cache block.
+def _attend_head(q_rot, ks, vs, k_rot, v_new, visible, inv_sqrt_hd):
+    """One query head against one KV head's cache rows [0, pos) plus the
+    current token's (k_rot, v_new), which is NOT in the cache (the kernel
+    never writes it there — the caller scatters it afterwards).
 
-    32-bit caches use a dynamic row store; 16-bit caches (no dynamic sublane
-    stores in Mosaic) use a masked full-block select that also carries the
-    fetched input block.  `head` indexes [KVH, M, HD] blocks — in that 32-bit
-    case the caller must have copied in->out for the whole block already;
-    head=None handles a per-head [M, HD] block completely."""
-    val = row.astype(out_ref.dtype)
-    if jnp.dtype(out_ref.dtype).itemsize == 4:
-        if head is None:
-            out_ref[:] = in_ref[:]
-            out_ref[pl.ds(pos, 1), :] = val
-        else:
-            out_ref[head, pl.ds(pos, 1), :] = val
-    else:
-        sel = _row_select(pos, m)
-        if head is None:
-            out_ref[:] = jnp.where(sel, val, in_ref[:])
-        else:
-            out_ref[head] = jnp.where(sel, val, in_ref[head])
-
-
-def _attend_head(q_rot, ks, vs, visible, inv_sqrt_hd):
-    """One query head against one KV head's cache: masked scores, softmax,
-    probability-weighted values.  q_rot [1, HD]; ks/vs [M, HD] f32;
-    visible [1, M] bool.  Returns [1, HD] f32."""
+    q_rot/k_rot/v_new [1, HD]; ks/vs [M, HD] f32 (row `pos` stale/garbage,
+    masked off); visible [1, M] = kv_idx < pos.  Returns [1, HD] f32.
+    Numerically identical to softmax over rows [0, pos] with the new row
+    written at `pos` (same score set, same max subtraction)."""
     scores = jax.lax.dot_general(
         q_rot, ks, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_sqrt_hd
     scores = jnp.where(visible, scores, -jnp.inf)
-    smax = jnp.max(scores, axis=-1, keepdims=True)
+    s_new = jnp.sum(q_rot * k_rot, axis=-1, keepdims=True) * inv_sqrt_hd
+    smax = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_new)
     sexp = jnp.exp(scores - smax)
-    probs = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
-    return jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+    e_new = jnp.exp(s_new - smax)
+    denom = jnp.sum(sexp, axis=-1, keepdims=True) + e_new
+    out = jnp.dot(sexp, vs, preferred_element_type=jnp.float32) + e_new * v_new
+    return out / denom
 
 
 def _rms_scale(x, weight_row, eps):
@@ -206,7 +206,7 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
                x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
                attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
                k_in_ref, v_in_ref,
-               x_out_ref, k_out_ref, v_out_ref):
+               x_out_ref, k_rows_ref, v_rows_ref):
         layer = pl.program_id(0)
         pos = pos_ref[0]
         m = k_in_ref.shape[1]
@@ -214,13 +214,6 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
         @pl.when(layer == 0)
         def _():
             x_out_ref[:] = x_ref[:]
-
-        # Aliased output blocks start uninitialized: 32-bit caches carry the
-        # fetched block once, then dynamic-store rows; 16-bit caches carry
-        # via the masked-select write per head.
-        if jnp.dtype(k_out_ref.dtype).itemsize == 4:
-            k_out_ref[:] = k_in_ref[:]
-            v_out_ref[:] = v_in_ref[:]
 
         x = x_out_ref[:].astype(jnp.float32)  # [1, D]
 
@@ -232,26 +225,31 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         rope_row = _make_rope_row(cos_ref[:], sin_ref[:], hd)
 
-        # Per-KV-head cache row update.  All slicing stays on the lane axis —
-        # Mosaic cannot shape-cast lanes into sublanes, so heads are a static
-        # Python loop (unrolled in the kernel), not a reshaped dimension.
+        # All slicing stays on the lane axis — Mosaic cannot shape-cast lanes
+        # into sublanes, so heads are a static Python loop (unrolled in the
+        # kernel), not a reshaped dimension.  The cache is read-only; the new
+        # token attends itself via the appended-score path in _attend_head.
         kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-        visible = kv_idx <= pos
+        visible = kv_idx < pos
         attn_heads = []
+        k_rows, v_rows = [], []
         for h_kv in range(kvh):
             k_off = qd + h_kv * hd
             v_off = qd + kvd + h_kv * hd
             k_rot = rope_row(qkv[:, k_off : k_off + hd])           # [1, HD]
             v_new = qkv[:, v_off : v_off + hd]
-            _write_cache_row(k_out_ref, k_in_ref, k_rot, pos, m, head=h_kv)
-            _write_cache_row(v_out_ref, v_in_ref, v_new, pos, m, head=h_kv)
-            ks = k_out_ref[h_kv].astype(jnp.float32)               # [M, HD]
-            vs = v_out_ref[h_kv].astype(jnp.float32)
+            k_rows.append(k_rot)
+            v_rows.append(v_new)
+            ks = k_in_ref[h_kv].astype(jnp.float32)                # [M, HD]
+            vs = v_in_ref[h_kv].astype(jnp.float32)
             for h_g in range(g):
                 q_off = (h_kv * g + h_g) * hd
                 q_rot = rope_row(qkv[:, q_off : q_off + hd])       # [1, HD]
-                attn_heads.append(_attend_head(q_rot, ks, vs, visible,
-                                               inv_sqrt_hd))       # [1, HD]
+                attn_heads.append(_attend_head(q_rot, ks, vs, k_rot, v_new,
+                                               visible, inv_sqrt_hd))
+        # Lane-axis concat ([1, KVH*HD]); sublane concat is unsupported.
+        k_rows_ref[:] = jnp.concatenate(k_rows, axis=-1).astype(k_rows_ref.dtype)
+        v_rows_ref[:] = jnp.concatenate(v_rows, axis=-1).astype(v_rows_ref.dtype)
         attn = jnp.concatenate(attn_heads, axis=-1)                # [1, QD]
         w_o = wo_ref[:]
         h = x + jnp.dot(attn.astype(w_o.dtype), w_o,
@@ -286,7 +284,7 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
                x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
                attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
                k_in_ref, v_in_ref,
-               x_out_ref, k_out_ref, v_out_ref,
+               x_out_ref, k_rows_ref, v_rows_ref,
                h_s, zn_s, acc_s):
         layer = pl.program_id(0)
         j = pl.program_id(1)
@@ -299,10 +297,6 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         @pl.when(j == 0)
         def _():
-            if jnp.dtype(k_out_ref.dtype).itemsize == 4:
-                k_out_ref[:] = k_in_ref[:]
-                v_out_ref[:] = v_in_ref[:]
-
             x = x_out_ref[:].astype(jnp.float32)  # [1, D]
             xn = _rms_scale(x, attn_norm_ref[:], eps)
             w_qkv = wqkv_ref[:]
@@ -311,22 +305,28 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
             rope_row = _make_rope_row(cos_ref[:], sin_ref[:], hd)
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-            visible = kv_idx <= pos
+            visible = kv_idx < pos
             attn_heads = []
+            k_rows, v_rows = [], []
             for h_kv in range(kvh):
                 k_off = qd + h_kv * hd
                 v_off = qd + kvd + h_kv * hd
                 k_rot = rope_row(qkv[:, k_off : k_off + hd])
                 v_new = qkv[:, v_off : v_off + hd]
-                _write_cache_row(k_out_ref, k_in_ref, k_rot, pos, m, head=h_kv)
-                _write_cache_row(v_out_ref, v_in_ref, v_new, pos, m, head=h_kv)
-                ks = k_out_ref[h_kv].astype(jnp.float32)
-                vs = v_out_ref[h_kv].astype(jnp.float32)
+                k_rows.append(k_rot)
+                v_rows.append(v_new)
+                ks = k_in_ref[h_kv].astype(jnp.float32)
+                vs = v_in_ref[h_kv].astype(jnp.float32)
                 for h_g in range(g):
                     q_off = (h_kv * g + h_g) * hd
                     q_rot = rope_row(qkv[:, q_off : q_off + hd])
-                    attn_heads.append(_attend_head(q_rot, ks, vs, visible,
+                    attn_heads.append(_attend_head(q_rot, ks, vs, k_rot,
+                                                   v_new, visible,
                                                    inv_sqrt_hd))
+            k_rows_ref[:] = jnp.concatenate(k_rows, axis=-1).astype(
+                k_rows_ref.dtype)
+            v_rows_ref[:] = jnp.concatenate(v_rows, axis=-1).astype(
+                v_rows_ref.dtype)
             attn = jnp.concatenate(attn_heads, axis=-1)
             w_o = wo_ref[:]
             h = x + jnp.dot(attn.astype(w_o.dtype), w_o,
@@ -374,8 +374,8 @@ def _blocked_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
         ],
         out_specs=[
             pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
-            pl.BlockSpec((None, kvh, m, hd), lambda l, j, sref: (l, 0, 0, 0)),
-            pl.BlockSpec((None, kvh, m, hd), lambda l, j, sref: (l, 0, 0, 0)),
+            pl.BlockSpec((None, 1, kvh * hd), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((None, 1, kvh * hd), lambda l, j, sref: (l, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),  # h after attention
@@ -386,15 +386,14 @@ def _blocked_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
 
     out_shapes = [
         jax.ShapeDtypeStruct((1, d), x.dtype),
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct((nl, 1, kvh * hd), k_cache.dtype),
+        jax.ShapeDtypeStruct((nl, 1, kvh * hd), v_cache.dtype),
     ]
 
-    return pl.pallas_call(
+    x_out, k_rows, v_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={10: 1, 11: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -405,6 +404,7 @@ def _blocked_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
         layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
         k_cache, v_cache,
     )
+    return x_out, *_scatter_rows(k_cache, v_cache, k_rows, v_rows, pos)
 
 
 def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
@@ -427,7 +427,7 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
                x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
                attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
                k_in_ref, v_in_ref,
-               x_out_ref, k_out_ref, v_out_ref,
+               x_out_ref, k_row_ref, v_row_ref,
                xn_s, hacc_s, zn_s, facc_s):
         layer = pl.program_id(0)
         j = pl.program_id(1)
@@ -448,23 +448,24 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         @pl.when(j < kvh)
         def _():
-            # This KV head's cache block: carry + row update.
+            # This KV head's cache block (read-only; new row emitted apart).
             xn = xn_s[:]
             w = wqkv_ref[:]                      # [D, (G+2)*HD]
             qkv = jnp.dot(xn.astype(w.dtype), w,
                           preferred_element_type=jnp.float32)
             k_rot = rope_row(qkv[:, gw : gw + hd])
             v_new = qkv[:, gw + hd :]
-            _write_cache_row(k_out_ref, k_in_ref, k_rot, pos, m)
-            _write_cache_row(v_out_ref, v_in_ref, v_new, pos, m)
-            ks = k_out_ref[:].astype(jnp.float32)   # [M, HD]
-            vs = v_out_ref[:].astype(jnp.float32)
+            k_row_ref[:] = k_rot.astype(k_row_ref.dtype)
+            v_row_ref[:] = v_new.astype(v_row_ref.dtype)
+            ks = k_in_ref[:].astype(jnp.float32)    # [M, HD]
+            vs = v_in_ref[:].astype(jnp.float32)
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-            visible = kv_idx <= pos
+            visible = kv_idx < pos
             heads = []
             for h_g in range(g):
                 q_rot = rope_row(qkv[:, h_g * hd : (h_g + 1) * hd])
-                heads.append(_attend_head(q_rot, ks, vs, visible, inv_sqrt_hd))
+                heads.append(_attend_head(q_rot, ks, vs, k_rot, v_new,
+                                          visible, inv_sqrt_hd))
             attn = jnp.concatenate(heads, axis=-1)   # [1, G*HD]
             w_o = wo_ref[:]                          # [G*HD, D]
             hacc_s[:] = hacc_s[:] + jnp.dot(
@@ -522,8 +523,8 @@ def _grouped_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
         ],
         out_specs=[
             pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
-            pl.BlockSpec((None, None, m, hd), kv_i),
-            pl.BlockSpec((None, None, m, hd), kv_i),
+            pl.BlockSpec((None, None, 1, hd), kv_i),
+            pl.BlockSpec((None, None, 1, hd), kv_i),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),  # normalized attention input
@@ -535,15 +536,14 @@ def _grouped_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
 
     out_shapes = [
         jax.ShapeDtypeStruct((1, d), x.dtype),
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct((nl, kvh, 1, hd), k_cache.dtype),
+        jax.ShapeDtypeStruct((nl, kvh, 1, hd), v_cache.dtype),
     ]
 
-    return pl.pallas_call(
+    x_out, k_rows, v_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={10: 1, 11: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -554,6 +554,7 @@ def _grouped_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
         layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
         k_cache, v_cache,
     )
+    return x_out, *_scatter_rows(k_cache, v_cache, k_rows, v_rows, pos)
 
 
 def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
@@ -568,10 +569,12 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
             "wgu" [NL,D,2FD], "w_down" [NL,FD,D], "attn_norm"/"ffn_norm"
             [NL,D]) in rope-split layout.
     x: [1, D] hidden state (embedded token).
-    k_cache/v_cache: [NL, KVH, M, HD] (single batch row), aliased in place.
+    k_cache/v_cache: [NL, KVH, M, HD] (single batch row).  The kernel reads
+    them (row `pos` masked off) and emits the new rows; this wrapper
+    scatters the rows back at `pos` with an in-place dynamic-update-slice.
     cos_row/sin_row: [1, HD//2] RoPE rows for `pos`.
 
-    Returns (x_out [1, D], k_cache, v_cache).
+    Returns (x_out [1, D], k_cache, v_cache) with the caches updated at `pos`.
     """
     if layers["wqkv"].ndim == 4:  # KV-head-grouped + FFN-blocked layout
         return _grouped_decode_layers(
@@ -610,25 +613,22 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
             pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # v in
         ],
         out_specs=[
-            pl.BlockSpec((1, d), lambda l, sref: (0, 0)),                  # x out
-            pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # k out
-            pl.BlockSpec((None, kvh, m, hd), lambda l, sref: (l, 0, 0, 0)),  # v out
+            pl.BlockSpec((1, d), lambda l, sref: (0, 0)),                # x out
+            pl.BlockSpec((None, 1, kvh * hd), lambda l, sref: (l, 0, 0)),  # k rows
+            pl.BlockSpec((None, 1, kvh * hd), lambda l, sref: (l, 0, 0)),  # v rows
         ],
     )
 
     out_shapes = [
         jax.ShapeDtypeStruct((1, d), x.dtype),
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct((nl, 1, kvh * hd), k_cache.dtype),
+        jax.ShapeDtypeStruct((nl, 1, kvh * hd), v_cache.dtype),
     ]
 
-    # Alias indices count every operand incl. the scalar-prefetch arg:
-    # pos=0, x=1, ..., k_cache=10, v_cache=11.
-    x_out, k_out, v_out = pl.pallas_call(
+    x_out, k_rows, v_rows = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={10: 1, 11: 2},
         # The layer walk is a sequential dependence chain (x carries across
         # grid steps); forbid any grid reordering.
         compiler_params=pltpu.CompilerParams(
@@ -641,4 +641,4 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
         layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
         k_cache, v_cache,
     )
-    return x_out, k_out, v_out
+    return x_out, *_scatter_rows(k_cache, v_cache, k_rows, v_rows, pos)

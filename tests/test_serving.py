@@ -155,6 +155,59 @@ def test_mixed_greedy_and_sampled_requests(setup, rng):
     assert len(r_sampled.generated) <= 8
 
 
+def test_sampled_stream_schedule_independent(setup, rng):
+    """A sampled request's stream is a pure function of (engine seed,
+    request_id, token index): co-tenants, admission order of later requests,
+    and quantum size must not perturb it (ADVICE r1 #1)."""
+    args, weights, engine = setup
+    ps = rng.integers(3, args.vocab_size, size=5).tolist()
+    others = [rng.integers(3, args.vocab_size, size=n).tolist()
+              for n in (4, 6, 7)]
+
+    # Solo, quantum 1.
+    be_a = BatchEngine(engine, capacity=4, top_k=50, sampling_seed=7)
+    r_a = be_a.submit(ps, 10, temperature=0.9)
+    be_a.run_to_completion()
+
+    # Same request_id (first submit), three co-tenants, quantum 4.
+    be_b = BatchEngine(engine, capacity=4, top_k=50, sampling_seed=7)
+    r_b = be_b.submit(ps, 10, temperature=0.9)
+    for p in others:
+        be_b.submit(p, 9, temperature=0.5)
+    for _ in range(40):
+        if be_b.num_active == 0 and not be_b._queue:
+            break
+        be_b.step(quantum=4)
+
+    assert r_a.done and r_b.done
+    assert r_a.generated == r_b.generated
+
+    # Different engine seed -> different stream (sanity that sampling is live).
+    be_c = BatchEngine(engine, capacity=4, top_k=50, sampling_seed=8)
+    r_c = be_c.submit(ps, 10, temperature=0.9)
+    be_c.run_to_completion()
+    assert r_c.generated != r_a.generated
+
+
+def test_paged_backpressure_tight_pool(setup, rng):
+    """Worst-case pages are reserved at admission: with a pool too small for
+    two concurrent worst cases, the second request defers (no mid-step
+    MemoryError, which previously deadlocked the engine — ADVICE r1 #3)."""
+    args, weights, engine = setup
+    p1 = rng.integers(3, args.vocab_size, size=6).tolist()
+    p2 = rng.integers(3, args.vocab_size, size=6).tolist()
+    # Each request worst-cases at 2 pages (6 + 8 tokens, page_size 8); pool
+    # has 3 usable pages, so concurrent admission would oversubscribe.
+    be = BatchEngine(engine, capacity=2, paged=True, page_size=8, num_pages=4)
+    r1 = be.submit(p1, 8)
+    r2 = be.submit(p2, 8)
+    assert be.num_active == 1 and len(be._queue) == 1  # r2 deferred
+    be.run_to_completion()
+    assert r1.generated == solo_stream(engine, p1, 8)
+    assert r2.generated == solo_stream(engine, p2, 8)
+    assert be.allocator.available == 3
+
+
 def test_max_seq_len_guard(setup):
     args, weights, engine = setup
     be = BatchEngine(engine, capacity=1)
