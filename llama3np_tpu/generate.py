@@ -86,7 +86,13 @@ def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
                         token_unroll: int = 1):
     """`decode_steps` with the whole per-token layer stack fused into one
     Pallas kernel (ops.kernels.decode_step).  Batch-1 only; params must be in
-    fused + rope-split layout (the single-chip engine default)."""
+    fused + rope-split layout (the single-chip engine default).
+
+    The greedy head stays on XLA deliberately: inside the scan XLA hoists a
+    loop-invariant bf16 convert of lm_head (--xla_allow_excess_precision) and
+    its matvec reads half the bytes at full bandwidth (~8 us/token measured);
+    a Pallas lm_head+argmax kernel (ops.kernels.greedy_head) was measured 6x
+    slower at fp32 (M=1 matvec limits; see BENCHMARKS.md round-2 notes)."""
     from .ops.kernels.decode_step import decode_layers
 
     kc = cache["k"][:, 0]  # [NL, KVH, M, HD] (B == 1)

@@ -117,3 +117,34 @@ def test_pallas_layer_step_values(tiny_args, tiny_weights, rng, ffn_block,
     assert_allclose(np.asarray(x_out), np.asarray(h_x)[:, 0], rtol=RTOL, atol=ATOL)
     assert_allclose(np.asarray(kc), np.asarray(cache_x["k"])[:, 0], rtol=RTOL, atol=ATOL)
     assert_allclose(np.asarray(vc), np.asarray(cache_x["v"])[:, 0], rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("d,vs,blk", [
+    (288, 32000, 3584),   # stories15M shape, block divides nothing special
+    (288, 32000, None),   # planner-chosen block
+    (64, 1000, 384),      # vocab not a multiple of the block (masked tail)
+    (128, 512, 512),      # single block
+])
+def test_greedy_head_matches_argmax(rng, d, vs, blk):
+    """Streaming lm_head+argmax kernel vs XLA argmax(dot) — exact token
+    identity, including the masked tail block."""
+    from llama3np_tpu.ops.kernels.greedy_head import argmax_head
+
+    x = jnp.asarray(rng.standard_normal((1, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, vs)), jnp.float32)
+    got = int(argmax_head(x, w, block=blk, interpret=True)[0])
+    want = int(np.argmax(np.asarray(
+        jnp.dot(x, w, preferred_element_type=jnp.float32))))
+    assert got == want
+
+
+def test_greedy_head_tie_breaks_first():
+    """np.argmax tie order: the lowest index wins, across block boundaries."""
+    from llama3np_tpu.ops.kernels.greedy_head import argmax_head
+
+    x = jnp.ones((1, 4), jnp.float32)
+    w = np.zeros((4, 600), np.float32)
+    w[:, 7] = 2.5
+    w[:, 300] = 2.5  # same max in a later block must not win
+    got = int(argmax_head(x, jnp.asarray(w), block=256, interpret=True)[0])
+    assert got == 7
