@@ -56,7 +56,10 @@ def init_paged_cache(args: ModelArgs, num_pages: int, page_size: int = 16,
     holds only the tokens that exist instead of `capacity x max_seq_len`
     dense rows.
 
-        k, v: [n_layers, num_pages, page_size, KVH, HD]
+        k, v: [n_layers, num_pages, KVH, page_size, HD]
+
+    (KVH before page_size so one (page id, kv head) slice is a contiguous
+    [page_size, HD] block — the unit the Pallas paged-attention kernel DMAs.)
 
     Page 0 is reserved as the null page (block tables point unused entries at
     it; reads from it are always masked off by the per-row length).
@@ -64,8 +67,8 @@ def init_paged_cache(args: ModelArgs, num_pages: int, page_size: int = 16,
     dt = jnp.dtype(dtype or args.kv_dtype)
     kvh, hd, nl = args.kv_heads, args.head_dim, args.n_layers
     return {
-        "k": jnp.zeros((nl, num_pages, page_size, kvh, hd), dt),
-        "v": jnp.zeros((nl, num_pages, page_size, kvh, hd), dt),
+        "k": jnp.zeros((nl, num_pages, kvh, page_size, hd), dt),
+        "v": jnp.zeros((nl, num_pages, kvh, page_size, hd), dt),
     }
 
 

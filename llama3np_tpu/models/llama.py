@@ -42,15 +42,23 @@ class StaticConfig(NamedTuple):
     rope_split: bool = False  # wq/wk permuted to split-halves RoPE layout
     kv_block: int = 512       # blockwise-attention block (0 = always dense)
     flash_prefill: bool = False  # Pallas flash kernel for first-chunk prefill
+    paged_kernel: int = 0     # paged decode attention: 0=XLA gather,
+                              # 1=Pallas page-streaming, 2=Pallas interpreted
 
     @classmethod
     def from_args(cls, args: ModelArgs, precision=None, fused=False,
                   unroll=1, rope_split=False) -> "StaticConfig":
-        flash = (args.attn_impl in ("auto", "pallas")
-                 and jax.default_backend() != "cpu")
+        on_tpu = jax.default_backend() != "cpu"
+        flash = args.attn_impl in ("auto", "pallas") and on_tpu
+        if args.attn_impl in ("auto", "pallas") and on_tpu:
+            paged = 1
+        elif args.attn_impl == "pallas":  # CPU: interpret mode (tests)
+            paged = 2
+        else:
+            paged = 0
         return cls(args.n_heads, args.kv_heads, args.head_dim, args.norm_eps,
                    precision, fused, unroll, rope_split,
-                   getattr(args, "prefill_kv_block", 512), flash)
+                   getattr(args, "prefill_kv_block", 512), flash, paged)
 
 
 def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
@@ -160,12 +168,12 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     different sequence lengths.
 
     Dense mode (block_table None): cache k/v are [NL, B, KVH, M, HD].
-    Paged mode: cache k/v are page pools [NL, P, page_size, KVH, HD] and
+    Paged mode: cache k/v are page pools [NL, P, KVH, page_size, HD] and
     block_table [B, max_pages] maps each row's pages (kvcache.init_paged_cache).
     """
     B = tokens.shape[0]
     if block_table is not None:
-        page = cache["k"].shape[2]
+        page = cache["k"].shape[3]
         page_ids = jnp.take_along_axis(
             block_table, (pos // page)[:, None], axis=1
         )[:, 0]
@@ -209,8 +217,17 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
         k = rope_rows(k)
         if block_table is not None:
             ck, cv = ops.paged_update_kv_cache(ck, cv, k, v, page_ids, offsets)
-            attn = ops.paged_attention(q, ck, cv, block_table, pos,
-                                       precision=cfg.precision)
+            from ..ops.kernels import paged_attention as pk
+            # Compiled kernel needs 128-aligned head_dim for its manual page
+            # DMAs (pk.supports); interpret mode (tests) takes any shape.
+            if cfg.paged_kernel == 2 or (
+                    cfg.paged_kernel == 1
+                    and pk.supports(cfg.head_dim, ck.shape[2], ck.dtype)):
+                attn = pk.paged_attention(q, ck, cv, block_table, pos,
+                                          interpret=cfg.paged_kernel == 2)
+            else:
+                attn = ops.paged_attention(q, ck, cv, block_table, pos,
+                                           precision=cfg.precision)
         else:
             ck, cv = ops.ragged_update_kv_cache(ck, cv, k, v, pos)
             attn = ops.ragged_cache_attention(q, ck, cv, pos,

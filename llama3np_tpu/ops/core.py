@@ -333,12 +333,14 @@ def paged_update_kv_cache(k_pages: jax.Array, v_pages: jax.Array,
                           page_ids: jax.Array, offsets: jax.Array):
     """Scatter one token's K/V per row into the page pool.
 
-    k_pages/v_pages: [P, page_size, KVH, HD] (one layer's pool);
+    k_pages/v_pages: [P, KVH, page_size, HD] (one layer's pool);
     k, v: [B, 1, KVH, HD]; page_ids, offsets: [B] — row b's token lands at
-    (page_ids[b], offsets[b]).
+    (page_ids[b], :, offsets[b]).
     """
-    k_pages = k_pages.at[page_ids, offsets].set(k[:, 0].astype(k_pages.dtype))
-    v_pages = v_pages.at[page_ids, offsets].set(v[:, 0].astype(v_pages.dtype))
+    k_pages = k_pages.at[page_ids, :, offsets].set(
+        k[:, 0].astype(k_pages.dtype))
+    v_pages = v_pages.at[page_ids, :, offsets].set(
+        v[:, 0].astype(v_pages.dtype))
     return k_pages, v_pages
 
 
@@ -347,21 +349,21 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     precision=None) -> jax.Array:
     """Decode attention over a paged cache (XLA gather realization).
 
-    q: [B, 1, NH, HD]; pools [P, page_size, KVH, HD]; block_table
+    q: [B, 1, NH, HD]; pools [P, KVH, page_size, HD]; block_table
     [B, max_pages] page ids (unused entries -> null page 0); pos [B].
 
     Gathers each row's pages into a contiguous view and applies the ragged
-    mask — the always-correct fallback; a Pallas kernel can stream pages
-    instead of materializing the gather.
+    mask — the always-correct fallback and the numerics oracle for the
+    Pallas kernel (ops.kernels.paged_attention), which streams pages by
+    block table instead of materializing the gather.
     """
     B = q.shape[0]
-    page = k_pages.shape[1]
     maxp = block_table.shape[1]
-    kvh, hd = k_pages.shape[2], k_pages.shape[3]
-    kg = k_pages[block_table]  # [B, maxp, page, KVH, HD]
+    kvh, page, hd = k_pages.shape[1], k_pages.shape[2], k_pages.shape[3]
+    kg = k_pages[block_table]  # [B, maxp, KVH, page, HD]
     vg = v_pages[block_table]
-    k_t = kg.reshape(B, maxp * page, kvh, hd).transpose(0, 2, 1, 3)
-    v_t = vg.reshape(B, maxp * page, kvh, hd).transpose(0, 2, 1, 3)
+    k_t = kg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
+    v_t = vg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
     return ragged_cache_attention(q, k_t, v_t, pos, precision=precision)
 
 

@@ -58,7 +58,7 @@ def admission_prefill_paged(params, padded, true_len, page_idx, cache,
     into the page pool at `page_idx` ([max_pages] int32, entries beyond the
     allocated count padded with 0 — the reserved null page, never attended).
     One jitted program, pool donated."""
-    nl, _, page, kvh, hd = cache["k"].shape
+    nl, _, kvh, page, hd = cache["k"].shape
     n_pages = page_idx.shape[0]
     M = n_pages * page  # == max_seq_len by construction
     row = {"k": jnp.zeros((nl, 1, kvh, M, hd), cache["k"].dtype),
@@ -67,9 +67,9 @@ def admission_prefill_paged(params, padded, true_len, page_idx, cache,
                             first_chunk=True)
     logits = _last_logits(params, h, true_len, cfg)
 
-    def rows(c):  # [NL, KVH, M, HD] -> [NL, n_pages, page, KVH, HD]
-        r = c[:, 0].transpose(0, 2, 1, 3)
-        return r.reshape(nl, n_pages, page, kvh, hd)
+    def rows(c):  # [NL, 1, KVH, M, HD] -> [NL, n_pages, KVH, page, HD]
+        r = c[:, 0].reshape(nl, kvh, n_pages, page, hd)
+        return r.transpose(0, 2, 1, 3, 4)
 
     cache = {"k": cache["k"].at[:, page_idx].set(rows(row["k"])),
              "v": cache["v"].at[:, page_idx].set(rows(row["v"]))}

@@ -148,3 +148,37 @@ def test_greedy_head_tie_breaks_first():
     w[:, 300] = 2.5  # same max in a later block must not win
     got = int(argmax_head(x, jnp.asarray(w), block=256, interpret=True)[0])
     assert got == 7
+
+
+@pytest.mark.parametrize("nh,kvh,hd,page,dt", [
+    (4, 4, 16, 8, np.float32),    # MHA
+    (4, 2, 32, 8, np.float32),    # GQA
+    (8, 2, 16, 16, np.float32),   # wider group
+    (4, 2, 32, 8, "bfloat16"),    # low-precision pool
+])
+def test_paged_attention_kernel_matches_gather(rng, nh, kvh, hd, page, dt):
+    """Page-streaming kernel vs the XLA gather oracle: ragged per-row
+    positions, shuffled block tables, null-page padding."""
+    from llama3np_tpu.ops.core import paged_attention as oracle
+    from llama3np_tpu.ops.kernels.paged_attention import (
+        paged_attention as kernel)
+
+    B, P, maxp = 3, 17, 4
+    q = jnp.asarray(rng.standard_normal((B, 1, nh, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((P, kvh, page, hd)), dt)
+    vp = jnp.asarray(rng.standard_normal((P, kvh, page, hd)), dt)
+    # Shuffled, non-contiguous page ids per row; unused entries -> null page 0.
+    perm = rng.permutation(np.arange(1, P))[: B * maxp].reshape(B, maxp)
+    bt = np.ascontiguousarray(perm).astype(np.int32)
+    pos = np.array([0, page + 3, maxp * page - 1], np.int32)  # ragged lengths
+    bt[0, 1:] = 0
+    bt[1, 2:] = 0
+
+    got = kernel(q, kp, vp, jnp.asarray(bt), jnp.asarray(pos), interpret=True)
+    # The kernel accumulates in f32 regardless of pool dtype (it never
+    # downcasts softmax probs the way the XLA einsum path does), so the
+    # reference is the oracle on the f32-upcast pool — same quantized inputs,
+    # same f32 math.
+    want = oracle(q, kp.astype(jnp.float32), vp.astype(jnp.float32),
+                  jnp.asarray(bt), jnp.asarray(pos))
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=RTOL, atol=ATOL)

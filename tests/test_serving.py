@@ -225,3 +225,27 @@ def test_oversized_request_rejected_at_submit_while_busy(setup, rng):
         be.submit(list(range(3, 3 + args.max_seq_len)), 10)
     be.run_to_completion()
     assert ok.done and len(ok.generated) == 6
+
+
+def test_paged_pallas_kernel_matches_solo(rng):
+    """End-to-end: the page-streaming Pallas decode kernel (interpret mode on
+    CPU via attn_impl="pallas") reproduces solo greedy streams through the
+    serving engine, including staggered admission and quanta."""
+    args = preset("test-tiny", attn_impl="pallas")
+    weights = synthetic_weights(args, seed=23)
+    engine = Llama(weights, args)
+    assert engine.cfg.paged_kernel == 2  # interpreted on CPU
+    prompts = [rng.integers(3, args.vocab_size, size=n).tolist()
+               for n in (4, 9)]
+    wants = [solo_stream(engine, p, 8) for p in prompts]
+
+    be = BatchEngine(engine, capacity=2, paged=True, page_size=8)
+    r0 = be.submit(prompts[0], 8)
+    be.step(2)
+    r1 = be.submit(prompts[1], 8)
+    for _ in range(20):
+        if be.num_active == 0 and not be._queue:
+            break
+        be.step(2)
+    assert r0.generated == wants[0]
+    assert r1.generated == wants[1]
