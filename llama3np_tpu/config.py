@@ -74,6 +74,10 @@ class ModelArgs:
     # ffn block).
     pallas_ffn_block: Optional[int] = None
     pallas_attn_group: bool = False
+    # Forces the fully streamed 8B-class layout as (dq_block, m_block,
+    # do_block, ffn_block); None = auto (plan_streamed when the grouped
+    # layouts exceed VMEM).
+    pallas_stream: Optional[tuple] = None
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

@@ -107,7 +107,7 @@ def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
             params["layers"], x, pos, kc, vc, cos_row, sin_row,
             n_heads=cfg.n_heads, kv_heads=cfg.kv_heads,
             head_dim=cfg.head_dim, norm_eps=cfg.norm_eps,
-            interpret=interpret,
+            interpret=interpret, stream_plan=cfg.stream_plan,
         )
         h = ops.rms_norm(x, params["norm"], cfg.norm_eps)
         logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
@@ -229,12 +229,15 @@ class Generator:
             return True
         # auto: real TPU only (interpret mode is for tests, forced via
         # attn_impl="pallas") and a viable VMEM plan — whole layer resident,
-        # FFN streamed in column blocks, or attention additionally streamed
-        # per KV-head group (the engine already laid the params out
-        # accordingly); None means even the streamed forms exceed VMEM, so
-        # the XLA scan applies.  Caches are read-only inside the kernels
-        # (new rows scattered by XLA afterwards), so any cache dtype works.
-        if self.args.pallas_ffn_block is None:
+        # FFN streamed in column blocks, attention additionally streamed per
+        # KV-head group, or the fully streamed 8B-class plan (the engine
+        # already laid the params out accordingly, cfg.stream_plan set);
+        # no plan at all means the XLA scan applies.  Caches are read-only
+        # inside the kernels (new rows scattered by XLA afterwards), so any
+        # cache dtype works.
+        if (self.args.pallas_ffn_block is None
+                and self.args.pallas_stream is None
+                and not self.cfg.stream_plan):
             from .ops.kernels.decode_step import plan_layout
             if plan_layout(self.args) is None:
                 return False

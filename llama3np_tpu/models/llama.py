@@ -44,6 +44,8 @@ class StaticConfig(NamedTuple):
     flash_prefill: bool = False  # Pallas flash kernel for first-chunk prefill
     paged_kernel: int = 0     # paged decode attention: 0=XLA gather,
                               # 1=Pallas page-streaming, 2=Pallas interpreted
+    stream_plan: tuple = ()   # 8B-class fused decode: (dq_block, m_block,
+                              # do_block, ffn_block); () = not streamed
 
     @classmethod
     def from_args(cls, args: ModelArgs, precision=None, fused=False,
@@ -369,22 +371,30 @@ class Llama:
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
             fused = args.fuse_matmuls
+            stream = ()
             if fused:
                 from ..checkpoint import fuse_param_tree
-                from ..ops.kernels.decode_step import plan_layout
-                if args.pallas_ffn_block is not None:
+                from ..ops.kernels.decode_step import (plan_layout,
+                                                       plan_streamed)
+                if args.pallas_stream is not None:
+                    stream = tuple(args.pallas_stream)
+                    plan = (True, stream[3])
+                elif args.pallas_ffn_block is not None:
                     plan = (bool(args.pallas_attn_group), args.pallas_ffn_block)
                 else:
-                    plan = plan_layout(args) or (False, 0)
+                    plan = plan_layout(args)
+                    if plan is None:
+                        stream = tuple(plan_streamed(args) or ())
+                        plan = (True, stream[3]) if stream else (False, 0)
                 attn_group, fb = plan
                 params = fuse_param_tree(
                     params, fb, attn_group=attn_group,
                     n_heads=args.n_heads, kv_heads=args.kv_heads,
                     head_dim=args.head_dim,
                 )
-            self.cfg = StaticConfig.from_args(args, prec, fused=fused,
-                                              unroll=unroll,
-                                              rope_split=rope_split)
+            self.cfg = StaticConfig.from_args(
+                args, prec, fused=fused, unroll=unroll,
+                rope_split=rope_split)._replace(stream_plan=stream)
             self.params = jax.device_put(jax.tree.map(jnp.asarray, params))
             self._shard_cache = lambda c: c
         self._finish_init()

@@ -124,6 +124,54 @@ def plan_layout(args):
     return None
 
 
+def plan_streamed(args):
+    """Fourth kernel layout (8B class; VERDICT r1 #3): D-blocked QKV
+    accumulation + M-blocked flash cache attention + column-blocked
+    o-projection + FFN column blocks.  Nothing bigger than a sub-block of
+    any weight is ever resident, so models whose per-KV-group weights exceed
+    VMEM (llama3-8b widths: one group is ~10.5 MB bf16) still run fused.
+
+    Returns (dq_block, m_block, do_block, ffn_block) minimizing grid steps
+    under the VMEM budget, or None (XLA scan applies).  Consumes the same
+    grouped+FFN-blocked param layout as the grouped kernel
+    (checkpoint.fuse_param_tree(attn_group=True, ffn_block=...)).
+    """
+    import jax.numpy as jnp
+
+    wsize = jnp.dtype(args.dtype).itemsize
+    csize = jnp.dtype(args.kv_dtype).itemsize
+    d, fd, hd = args.dim, args.hidden_dim, args.head_dim
+    g, kvh, M = args.n_rep, args.kv_heads, args.max_seq_len
+    qkvg = (g + 2) * hd
+    gw = g * hd
+    scratch = (6 * d + qkvg + (g + 3) * hd + 3 * g) * 4
+    slack = 768 * 1024
+    best = None
+    for mb in (1024, 512, 256, 128):
+        if M % mb:
+            continue
+        cache = 4 * mb * hd * csize  # k+v blocks, double-buffered
+        for db in (4096, 2048, 1024, 512):
+            if d % db:
+                continue
+            wq = 2 * db * qkvg * wsize
+            for dob in (4096, 2048, 1024, 512):
+                if d % dob:
+                    continue
+                wo = 2 * gw * dob * wsize
+                for fb in (1024, 512, 256, 128):
+                    if fd % fb:
+                        continue
+                    ffn = 2 * (d * 2 * fb + fb * d) * wsize
+                    if (wq + wo + ffn + cache + scratch + slack
+                            > VMEM_BUDGET):
+                        continue
+                    steps = kvh * (d // db + M // mb + d // dob) + fd // fb
+                    if best is None or steps < best[0]:
+                        best = (steps, (db, mb, dob, fb))
+    return best[1] if best else None
+
+
 def _scatter_rows(k_cache, v_cache, k_rows, v_rows, pos):
     """Write the kernel-emitted new K/V rows into the caches at `pos` with
     one XLA dynamic-update-slice each (in place under jit — the caches' only
@@ -557,11 +605,272 @@ def _grouped_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
     return x_out, *_scatter_rows(k_cache, v_cache, k_rows, v_rows, pos)
 
 
+def make_streamed_kernel(n_heads: int, kv_heads: int, head_dim: int,
+                         norm_eps: float, ndq: int, nm: int, ndo: int,
+                         nb: int, mb: int):
+    """Kernel for the fully streamed 8B-class layout (plan_streamed).
+
+    Grid (layers, KVH*(NDQ+NM+NDO) + NB).  Per KV-head group k:
+      steps 0..NDQ-1      accumulate qkv_k over D-blocks of wqkv[k]
+                          (dynamic 128-aligned lane reads of the normalized
+                          hidden state — validated on Mosaic);
+      steps ..+NM         flash cache attention, one [MB, HD] cache block per
+                          step, all G query heads in a single MXU dot; the
+                          current token's K/V is appended in the softmax at
+                          the last M step (cache stays read-only, row `pos`
+                          masked via kv_idx < pos);
+      steps ..+NDO        o-projection one wo column block per step,
+                          accumulated into the hidden state at dynamic
+                          128-aligned lane offsets.
+    The trailing NB steps stream SwiGLU column blocks.  Weight dots run in
+    the weight dtype (bf16 on 8B) with f32 accumulation; attention dots in
+    f32 like the other layouts.
+    """
+    nh, kvh, hd, eps = n_heads, kv_heads, head_dim, norm_eps
+    g = nh // kvh
+    gw = g * hd
+    qkvg = (g + 2) * hd
+    span = ndq + nm + ndo
+    attn_steps = kvh * span
+    nsteps = attn_steps + nb
+    inv_sqrt_hd = 1.0 / math.sqrt(hd)
+
+    def kernel(pos_ref,
+               x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
+               attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
+               k_in_ref, v_in_ref,
+               x_out_ref, k_row_ref, v_row_ref,
+               xn_s, qkv_s, q_s, krot_s, vnew_s, m_s, l_s, acc_s,
+               attn_s, hacc_s, zn_s, facc_s):
+        layer = pl.program_id(0)
+        j = pl.program_id(1)
+        pos = pos_ref[0]
+        k_idx = j // span          # valid while j < attn_steps
+        r = j - k_idx * span
+
+        @pl.when(jnp.logical_and(layer == 0, j == 0))
+        def _():
+            x_out_ref[:] = x_ref[:]
+
+        @pl.when(j == 0)
+        def _():
+            x = x_out_ref[:].astype(jnp.float32)
+            xn_s[:] = _rms_scale(x, attn_norm_ref[:], eps)
+            hacc_s[:] = x          # residual; o-proj blocks accumulate in
+
+        in_attn = j < attn_steps
+        rope_row = _make_rope_row(cos_ref[:], sin_ref[:], hd)
+
+        # --- phase A: qkv accumulation over D blocks -------------------------
+        @pl.when(jnp.logical_and(in_attn, r == 0))
+        def _():
+            qkv_s[:] = jnp.zeros_like(qkv_s)
+
+        @pl.when(jnp.logical_and(in_attn, r < ndq))
+        def _():
+            db = wqkv_ref.shape[0]
+            off = pl.multiple_of(r * db, db)
+            xblk = xn_s[:, pl.ds(off, db)]
+            w = wqkv_ref[:]
+            qkv_s[:] = qkv_s[:] + jnp.dot(
+                xblk.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
+        # --- phase B: flash attention over cache M blocks --------------------
+        @pl.when(jnp.logical_and(in_attn, r == ndq))
+        def _():
+            qkv = qkv_s[:]
+            for h_g in range(g):
+                q_s[h_g : h_g + 1] = rope_row(qkv[:, h_g * hd : (h_g + 1) * hd])
+            k_rot = rope_row(qkv[:, gw : gw + hd])
+            v_new = qkv[:, gw + hd :]
+            krot_s[:] = k_rot
+            vnew_s[:] = v_new
+            k_row_ref[:] = k_rot.astype(k_row_ref.dtype)
+            v_row_ref[:] = v_new.astype(v_row_ref.dtype)
+            m_s[:] = jnp.full_like(m_s, -jnp.inf)
+            l_s[:] = jnp.zeros_like(l_s)
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        @pl.when(jnp.logical_and(in_attn,
+                                 jnp.logical_and(r >= ndq, r < ndq + nm)))
+        def _():
+            mi = r - ndq
+            ks = k_in_ref[:].astype(jnp.float32)     # [MB, HD]
+            vs = v_in_ref[:].astype(jnp.float32)
+            q = q_s[:]                               # [G, HD] f32
+            s = jax.lax.dot_general(
+                q, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * inv_sqrt_hd                          # [G, MB]
+            kv_idx = mi * mb + jax.lax.broadcasted_iota(jnp.int32, (g, mb), 1)
+            visible = kv_idx < pos
+            s = jnp.where(visible, s, -jnp.inf)
+            m = m_s[:]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            # A fully masked block keeps m_new == -inf until the first real
+            # column; guard the rescale like blockwise_causal_attention.
+            alpha = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(m - m_new))
+            p = jnp.where(jnp.isneginf(m_new), 0.0, jnp.exp(s - m_new))
+            p = jnp.where(visible, p, 0.0)
+            l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_s[:] = acc_s[:] * alpha + jnp.dot(
+                p, vs, preferred_element_type=jnp.float32)
+            m_s[:] = m_new
+
+            @pl.when(mi == nm - 1)
+            def _():
+                # Append the current token's score/value (its K/V is NOT in
+                # the cache; the caller scatters the emitted rows afterward).
+                s_new = jnp.sum(q_s[:] * krot_s[:], axis=-1,
+                                keepdims=True) * inv_sqrt_hd   # [G, 1]
+                m2 = jnp.maximum(m_s[:], s_new)
+                alpha2 = jnp.exp(m_s[:] - m2)
+                e_new = jnp.exp(s_new - m2)
+                l_s[:] = l_s[:] * alpha2 + e_new
+                acc_s[:] = acc_s[:] * alpha2 + e_new * vnew_s[:]
+                m_s[:] = m2
+
+        # --- phase C: o-projection column blocks ----------------------------
+        @pl.when(jnp.logical_and(in_attn, r == ndq + nm))
+        def _():
+            heads = [acc_s[h : h + 1] / l_s[h : h + 1] for h in range(g)]
+            attn_s[:] = jnp.concatenate(heads, axis=-1)      # [1, GW]
+
+        @pl.when(jnp.logical_and(in_attn, r >= ndq + nm))
+        def _():
+            dob = wo_ref.shape[1]
+            off = pl.multiple_of((r - ndq - nm) * dob, dob)
+            w = wo_ref[:]
+            part = jnp.dot(attn_s[:].astype(w.dtype), w,
+                           preferred_element_type=jnp.float32)  # [1, DOB]
+            hacc_s[:, pl.ds(off, dob)] = hacc_s[:, pl.ds(off, dob)] + part
+
+        # --- FFN column blocks ----------------------------------------------
+        @pl.when(j == attn_steps)
+        def _():
+            zn_s[:] = _rms_scale(hacc_s[:], ffn_norm_ref[:], eps)
+            facc_s[:] = jnp.zeros_like(facc_s)
+
+        @pl.when(j >= attn_steps)
+        def _():
+            facc_s[:] = facc_s[:] + _swiglu_block(zn_s[:], wgu_ref[:],
+                                                  wdown_ref[:])
+
+        @pl.when(j == nsteps - 1)
+        def _():
+            x_out_ref[:] = (hacc_s[:] + facc_s[:]).astype(x_out_ref.dtype)
+
+    return kernel
+
+
+def _streamed_decode_layers(layers, x, pos, k_cache, v_cache, cos_row,
+                            sin_row, stream_plan, *, n_heads, kv_heads,
+                            head_dim, norm_eps, interpret=False):
+    db, mb, dob, fb = stream_plan
+    nl, kvh_w, d, qkvg = layers["wqkv"].shape
+    _, nbf, _, gfd2 = layers["wgu"].shape
+    fblk = layers["w_down"].shape[2]
+    _, kvh, m, hd = k_cache.shape
+    gw = (n_heads // kv_heads) * head_dim
+    assert fblk == fb and d % db == 0 and m % mb == 0 and d % dob == 0, \
+        (fblk, fb, d, db, m, mb, dob)
+    ndq, nm, ndo, nb = d // db, m // mb, d // dob, nbf
+    span = ndq + nm + ndo
+    attn_steps = kvh * span
+    nsteps = attn_steps + nb
+
+    kernel = make_streamed_kernel(n_heads, kv_heads, head_dim, norm_eps,
+                                  ndq, nm, ndo, nb, mb)
+
+    def k_of(j):
+        return jnp.minimum(j // span, kvh - 1)
+
+    def r_of(j):
+        return j - jnp.minimum(j // span, kvh - 1) * span
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl, nsteps),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, None, db, qkvg),
+                         lambda l, j, sref: (l, k_of(j),
+                                             jnp.clip(r_of(j), 0, ndq - 1), 0)),
+            pl.BlockSpec((None, None, gw, dob),
+                         lambda l, j, sref: (l, k_of(j), 0,
+                                             jnp.clip(r_of(j) - ndq - nm,
+                                                      0, ndo - 1))),
+            pl.BlockSpec((None, None, d, gfd2),
+                         lambda l, j, sref: (l, jnp.clip(j - attn_steps,
+                                                         0, nb - 1), 0, 0)),
+            pl.BlockSpec((None, None, fb, d),
+                         lambda l, j, sref: (l, jnp.clip(j - attn_steps,
+                                                         0, nb - 1), 0, 0)),
+            pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
+            pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, None, mb, hd),
+                         lambda l, j, sref: (l, k_of(j),
+                                             jnp.clip(r_of(j) - ndq,
+                                                      0, nm - 1), 0)),
+            pl.BlockSpec((None, None, mb, hd),
+                         lambda l, j, sref: (l, k_of(j),
+                                             jnp.clip(r_of(j) - ndq,
+                                                      0, nm - 1), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d), lambda l, j, sref: (0, 0)),
+            pl.BlockSpec((None, None, 1, hd),
+                         lambda l, j, sref: (l, k_of(j), 0, 0)),
+            pl.BlockSpec((None, None, 1, hd),
+                         lambda l, j, sref: (l, k_of(j), 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),       # xn
+            pltpu.VMEM((1, qkvg), jnp.float32),    # qkv accumulator
+            pltpu.VMEM((n_heads // kv_heads, hd), jnp.float32),  # roped q
+            pltpu.VMEM((1, hd), jnp.float32),      # roped k
+            pltpu.VMEM((1, hd), jnp.float32),      # new v
+            pltpu.VMEM((n_heads // kv_heads, 1), jnp.float32),   # running max
+            pltpu.VMEM((n_heads // kv_heads, 1), jnp.float32),   # normalizer
+            pltpu.VMEM((n_heads // kv_heads, hd), jnp.float32),  # attn acc
+            pltpu.VMEM((1, gw), jnp.float32),      # merged attn heads
+            pltpu.VMEM((1, d), jnp.float32),       # hidden accumulator
+            pltpu.VMEM((1, d), jnp.float32),       # normalized FFN input
+            pltpu.VMEM((1, d), jnp.float32),       # FFN accumulator
+        ],
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, d), x.dtype),
+        jax.ShapeDtypeStruct((nl, kvh, 1, hd), k_cache.dtype),
+        jax.ShapeDtypeStruct((nl, kvh, 1, hd), v_cache.dtype),
+    ]
+
+    x_out, k_rows, v_rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        pos.reshape(1).astype(jnp.int32),
+        x, layers["wqkv"], layers["wo"], layers["wgu"], layers["w_down"],
+        layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
+        k_cache, v_cache,
+    )
+    return x_out, *_scatter_rows(k_cache, v_cache, k_rows, v_rows, pos)
+
+
 def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
                   k_cache: jax.Array, v_cache: jax.Array,
                   cos_row: jax.Array, sin_row: jax.Array,
                   *, n_heads: int, kv_heads: int, head_dim: int,
-                  norm_eps: float, interpret: bool = False
+                  norm_eps: float, interpret: bool = False,
+                  stream_plan: tuple = ()
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run all layers of one decode step in one fused kernel.
 
@@ -576,6 +885,12 @@ def decode_layers(layers: Dict, x: jax.Array, pos: jax.Array,
 
     Returns (x_out [1, D], k_cache, v_cache) with the caches updated at `pos`.
     """
+    if stream_plan:  # fully streamed 8B-class layout (plan_streamed)
+        return _streamed_decode_layers(
+            layers, x, pos, k_cache, v_cache, cos_row, sin_row, stream_plan,
+            n_heads=n_heads, kv_heads=kv_heads, head_dim=head_dim,
+            norm_eps=norm_eps, interpret=interpret,
+        )
     if layers["wqkv"].ndim == 4:  # KV-head-grouped + FFN-blocked layout
         return _grouped_decode_layers(
             layers, x, pos, k_cache, v_cache, cos_row, sin_row,

@@ -25,6 +25,11 @@ ATOL, RTOL = 1e-4, 2e-4
     ("test-tiny", dict(dtype="bfloat16")),  # 16-bit cache: masked-select write
     ("test-tiny", dict(dtype="bfloat16", pallas_ffn_block=32,
                        pallas_attn_group=True)),
+    # Fully streamed 8B-class layout: D-blocked QKV + M-blocked flash cache
+    # attention + wo column blocks (dq, m, do, ffn blocks).
+    ("test-tiny", dict(pallas_stream=(32, 32, 32, 64))),
+    ("test-tiny", dict(dtype="bfloat16", pallas_stream=(32, 16, 32, 32))),
+    ("test-tiny-mha", dict(pallas_stream=(24, 16, 24, 48))),
 ])
 def test_pallas_decode_matches_xla(name, kw, rng):
     """Full generate: Pallas fused decode (all layout variants) vs XLA
