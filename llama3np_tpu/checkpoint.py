@@ -88,6 +88,42 @@ def _keys(weights):
     return weights.files if hasattr(weights, "files") else weights.keys()
 
 
+def quantize_param_tree(params: Dict) -> Dict:
+    """Weight-only int8 quantization of the fused single-chip tree
+    (checkpoint.fuse_param_tree output).
+
+    Matmul weights (wqkv/wo/wgu/w_down in any fused layout, lm_head) get
+    per-output-channel symmetric scales: w8 = round(w / s) with
+    s = max|w_col| / 127 reduced over the contraction (second-to-last) axis.
+    Per-output-channel scales COMMUTE with the matmul —
+    x @ (w8 * s) == (x @ w8) * s — so consumers dequantize by post-scaling
+    the matmul output; the [in, out] weight is never materialized in high
+    precision.  The embedding is quantized per ROW (one scale per token id,
+    applied after the gather).  Norms stay in the activation dtype.
+
+    New capability beyond the reference (which has only an fp16 cast knob,
+    reference llama3_simple.py:211-212): int8 halves 8B-class weight traffic
+    and fits llama3-8b's 32 layers in a single chip's 16 GB HBM.
+    """
+    def q(w, axis):
+        w = np.asarray(w, np.float32)
+        s = np.max(np.abs(w), axis=axis, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-12).astype(np.float32)
+        w8 = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+        return w8, s
+
+    ly = dict(params["layers"])
+    for kind in ("wqkv", "wo", "wgu", "w_down"):
+        w8, s = q(ly[kind], axis=-2)
+        ly[kind] = w8
+        ly[kind + "_scale"] = s
+    head8, head_s = q(params["lm_head"], axis=-2)     # [D, VS] -> s [1, VS]
+    emb8, emb_s = q(params["tok_embedding"], axis=-1)  # [VS, D] -> s [VS, 1]
+    return {**params, "layers": ly,
+            "tok_embedding": emb8, "tok_embedding_scale": emb_s,
+            "lm_head": head8, "lm_head_scale": head_s}
+
+
 def permute_rope_layout(params: Dict, args: ModelArgs) -> Dict:
     """Permute wq/wk output columns from interleaved RoPE pairs to the
     split-halves layout (ops.rope_split_permutation).  Exact: Q and K are

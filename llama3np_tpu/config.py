@@ -78,6 +78,10 @@ class ModelArgs:
     # do_block, ffn_block); None = auto (plan_streamed when the grouped
     # layouts exceed VMEM).
     pallas_stream: Optional[tuple] = None
+    # Weight-only quantization: None (args.dtype weights) or "int8"
+    # (per-output-channel symmetric int8 matmul weights + f32 scales;
+    # activations stay args.dtype).  Single-chip fused path only.
+    quant: Optional[str] = None
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

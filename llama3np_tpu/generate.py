@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.llama import StaticConfig, forward_hidden, forward
+from .models.llama import (StaticConfig, embed_tokens, forward_hidden,
+                           forward, lm_logits)
 from .ops import core as ops
 
 
@@ -30,8 +31,7 @@ def _last_logits(params, h, true_len, cfg: StaticConfig):
     """Logits at the last real prompt position (true_len - 1)."""
     h_last = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
     h_last = ops.rms_norm(h_last, params["norm"], cfg.norm_eps)
-    return jnp.dot(h_last, params["lm_head"], precision=cfg.precision,
-                   preferred_element_type=jnp.float32)
+    return lm_logits(params, h_last, cfg.precision)
 
 
 def prefill_logits(params, ids_padded, true_len, cache, cos, sin,
@@ -100,7 +100,7 @@ def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
 
     def step(carry, _):
         tok, pos, kc, vc = carry
-        x = jnp.take(params["tok_embedding"], tok, axis=0)  # [1, D]
+        x = embed_tokens(params, tok)  # [1, D]
         cos_row = jax.lax.dynamic_slice_in_dim(cos, pos, 1)
         sin_row = jax.lax.dynamic_slice_in_dim(sin, pos, 1)
         x, kc, vc = decode_layers(
@@ -110,8 +110,7 @@ def pallas_decode_steps(params, tok, pos, cache, cos, sin, cfg: StaticConfig,
             interpret=interpret, stream_plan=cfg.stream_plan,
         )
         h = ops.rms_norm(x, params["norm"], cfg.norm_eps)
-        logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
-                         preferred_element_type=jnp.float32)
+        logits = lm_logits(params, h, cfg.precision)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [1]
         return (nxt, pos + 1, kc, vc), nxt
 
@@ -224,6 +223,9 @@ class Generator:
         if impl == "xla" or batch != 1:
             return False
         if not (self.cfg.fused and self.cfg.rope_split):
+            return False
+        if self.args.quant and not self.cfg.stream_plan:
+            # Only the streamed layout consumes int8 scale blocks.
             return False
         if impl == "pallas":
             return True

@@ -63,6 +63,26 @@ class StaticConfig(NamedTuple):
                    getattr(args, "prefill_kv_block", 512), flash, paged)
 
 
+def embed_tokens(params: Dict, ids) -> jax.Array:
+    """Embedding gather; dequantizes int8 rows with their per-row scale
+    (checkpoint.quantize_param_tree)."""
+    h = jnp.take(params["tok_embedding"], ids, axis=0)
+    s = params.get("tok_embedding_scale")
+    if s is None:
+        return h
+    row_s = jnp.take(s[:, 0], ids, axis=0)[..., None]
+    return (h.astype(jnp.float32) * row_s).astype(params["norm"].dtype)
+
+
+def lm_logits(params: Dict, h, precision) -> jax.Array:
+    """Final projection to vocab logits [.., VS] in f32; int8 lm_head
+    dequantizes via the per-column scale post-multiply."""
+    logits = jnp.dot(h, params["lm_head"], precision=precision,
+                     preferred_element_type=jnp.float32)
+    s = params.get("lm_head_scale")
+    return logits * s if s is not None else logits
+
+
 def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                 h, lp: Dict, ck, cv):
     """One transformer block. h: [B, L, D]; ck/cv: this layer's cache slice."""
@@ -72,7 +92,8 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
         # Single-chip fast path: one matmul for Q|K|V (dispatch-overhead
         # reduction for small-model decode; TP keeps the split weights).
         q, k, v = ops.fused_qkv(x, lp["wqkv"], cfg.n_heads, cfg.kv_heads,
-                                cfg.head_dim, precision=cfg.precision)
+                                cfg.head_dim, precision=cfg.precision,
+                                scale=lp.get("wqkv_scale"))
     else:
         q = jnp.dot(x, lp["wq"], precision=cfg.precision,
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -113,12 +134,14 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
             cfg.kv_block, precision=cfg.precision)
     else:
         attn = ops.cache_attention(q, ck, cv, pos, precision=cfg.precision)
-    h = h + ops.fused_o_proj(attn, lp["wo"],
-                             precision=cfg.precision).astype(h.dtype)
+    h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
+                             scale=lp.get("wo_scale")).astype(h.dtype)
     z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
     if cfg.fused:
         h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
-                              precision=cfg.precision)
+                              precision=cfg.precision,
+                              scale_gu=lp.get("wgu_scale"),
+                              scale_down=lp.get("w_down_scale"))
     else:
         h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
                            precision=cfg.precision)
@@ -133,7 +156,7 @@ def forward_hidden(params: Dict, input_ids, pos, cache: Dict,
     Returns (h [B, L, D], updated cache).
     """
     L = input_ids.shape[1]
-    h = jnp.take(params["tok_embedding"], input_ids, axis=0)
+    h = embed_tokens(params, input_ids)
     cos_l = jax.lax.dynamic_slice_in_dim(cos, pos, L)
     sin_l = jax.lax.dynamic_slice_in_dim(sin, pos, L)
 
@@ -155,9 +178,7 @@ def forward(params: Dict, input_ids, pos, cache: Dict, cos, sin,
     never materializes [B, L, VS]; quirk Q8, reference llama3.py:307)."""
     h, cache = forward_hidden(params, input_ids, pos, cache, cos, sin, cfg, first_chunk)
     h = ops.rms_norm(h[:, -1:, :], params["norm"], cfg.norm_eps)
-    logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
-                     preferred_element_type=jnp.float32)
-    return logits, cache
+    return lm_logits(params, h, cfg.precision), cache
 
 
 def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
@@ -180,7 +201,7 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             block_table, (pos // page)[:, None], axis=1
         )[:, 0]
         offsets = pos % page
-    h = jnp.take(params["tok_embedding"], tokens[:, None], axis=0)  # [B,1,D]
+    h = embed_tokens(params, tokens[:, None])  # [B, 1, D]
     cos_b = jnp.take(cos, pos, axis=0)  # [B, HD//2]
     sin_b = jnp.take(sin, pos, axis=0)
 
@@ -204,7 +225,8 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
         x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
         if cfg.fused:
             q, k, v = ops.fused_qkv(x, lp["wqkv"], cfg.n_heads, cfg.kv_heads,
-                                    cfg.head_dim, precision=cfg.precision)
+                                    cfg.head_dim, precision=cfg.precision,
+                                    scale=lp.get("wqkv_scale"))
         else:
             q = jnp.dot(x, lp["wq"], precision=cfg.precision,
                         preferred_element_type=jnp.float32).astype(x.dtype)
@@ -234,12 +256,14 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             ck, cv = ops.ragged_update_kv_cache(ck, cv, k, v, pos)
             attn = ops.ragged_cache_attention(q, ck, cv, pos,
                                               precision=cfg.precision)
-        h = h + ops.fused_o_proj(attn, lp["wo"],
-                                 precision=cfg.precision).astype(h.dtype)
+        h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
+                                 scale=lp.get("wo_scale")).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         if cfg.fused:
             h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
-                                  precision=cfg.precision)
+                                  precision=cfg.precision,
+                                  scale_gu=lp.get("wgu_scale"),
+                                  scale_down=lp.get("w_down_scale"))
         else:
             h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
                                precision=cfg.precision)
@@ -250,9 +274,7 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
         unroll=cfg.unroll,
     )
     h = ops.rms_norm(h[:, -1, :], params["norm"], cfg.norm_eps)
-    logits = jnp.dot(h, params["lm_head"], precision=cfg.precision,
-                     preferred_element_type=jnp.float32)
-    return logits, {"k": ck_new, "v": cv_new}
+    return lm_logits(params, h, cfg.precision), {"k": ck_new, "v": cv_new}
 
 
 def fold_row_keys(base_key, rids, ctrs):
@@ -359,6 +381,9 @@ class Llama:
             params = permute_rope_layout(params, args)
         self.mesh = mesh
         if mesh is not None:
+            if args.quant:
+                raise ValueError("quant is single-chip only (no sharding "
+                                 "rules for scale leaves yet)")
             from ..parallel.sharding import shard_params, shard_cache
             # Pallas kernels (incl. flash prefill) are single-chip programs —
             # GSPMD cannot partition a pallas_call over TP-sharded operands,
@@ -372,8 +397,11 @@ class Llama:
         else:
             fused = args.fuse_matmuls
             stream = ()
+            if args.quant == "int8" and not fused:
+                raise ValueError("quant='int8' requires fuse_matmuls "
+                                 "(the quantized tree is the fused layout)")
             if fused:
-                from ..checkpoint import fuse_param_tree
+                from ..checkpoint import fuse_param_tree, quantize_param_tree
                 from ..ops.kernels.decode_step import (plan_layout,
                                                        plan_streamed)
                 if args.pallas_stream is not None:
@@ -382,7 +410,10 @@ class Llama:
                 elif args.pallas_ffn_block is not None:
                     plan = (bool(args.pallas_attn_group), args.pallas_ffn_block)
                 else:
-                    plan = plan_layout(args)
+                    # int8: of the kernel layouts only the streamed one
+                    # consumes scale blocks, so quantized models go straight
+                    # to plan_streamed (XLA scan otherwise).
+                    plan = None if args.quant else plan_layout(args)
                     if plan is None:
                         stream = tuple(plan_streamed(args) or ())
                         plan = (True, stream[3]) if stream else (False, 0)
@@ -392,6 +423,8 @@ class Llama:
                     n_heads=args.n_heads, kv_heads=args.kv_heads,
                     head_dim=args.head_dim,
                 )
+                if args.quant == "int8":
+                    params = quantize_param_tree(params)
             self.cfg = StaticConfig.from_args(
                 args, prec, fused=fused, unroll=unroll,
                 rope_split=rope_split)._replace(stream_plan=stream)

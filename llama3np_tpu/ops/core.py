@@ -40,7 +40,7 @@ def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
 
 
 def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,
-              head_dim: int, precision=None):
+              head_dim: int, precision=None, scale=None):
     """QKV projection on the fused layout; returns (q, k, v) as
     [B, L, NH, HD] / [B, L, KVH, HD].
 
@@ -48,6 +48,9 @@ def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,
     KV-head-grouped (checkpoint.fuse_param_tree attn_group): wqkv
     [KVH, D, (G+2)*HD] — group j holds its G query heads' columns, then
     k_j, then v_j.
+    int8 weights (checkpoint.quantize_param_tree): pass the per-output
+    `scale` ([1, F] / [KVH, 1, F]) — it commutes with the matmul, so
+    dequantization is a post-scale on the projection output.
     """
     B, L, _ = x.shape
     g = n_heads // kv_heads
@@ -55,13 +58,19 @@ def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,
         qd = n_heads * head_dim
         kvd = kv_heads * head_dim
         qkv = jnp.dot(x, wqkv, precision=precision,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+                      preferred_element_type=jnp.float32)
+        if scale is not None:
+            qkv = qkv * scale
+        qkv = qkv.astype(x.dtype)
         q = qkv[..., :qd].reshape(B, L, n_heads, head_dim)
         k = qkv[..., qd : qd + kvd].reshape(B, L, kv_heads, head_dim)
         v = qkv[..., qd + kvd :].reshape(B, L, kv_heads, head_dim)
         return q, k, v
     gqkv = jnp.einsum("bld,kdf->blkf", x, wqkv, precision=precision,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+                      preferred_element_type=jnp.float32)
+    if scale is not None:
+        gqkv = gqkv * scale[:, 0]          # [KVH, 1, F] -> [KVH, F]
+    gqkv = gqkv.astype(x.dtype)
     gw = g * head_dim
     q = gqkv[..., :gw].reshape(B, L, n_heads, head_dim)
     k = gqkv[..., gw : gw + head_dim]
@@ -69,39 +78,62 @@ def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,
     return q, k, v
 
 
-def fused_o_proj(attn: jax.Array, wo: jax.Array, precision=None) -> jax.Array:
+def fused_o_proj(attn: jax.Array, wo: jax.Array, precision=None,
+                 scale=None) -> jax.Array:
     """Output projection: attn [B, L, NH, HD] with wo [QD, D] (standard) or
-    [KVH, G*HD, D] (grouped rows).  Returns [B, L, D]."""
+    [KVH, G*HD, D] (grouped rows).  Returns [B, L, D].  int8 wo dequantizes
+    via the per-output `scale` post-multiply ([1, D] / [KVH, 1, D]; grouped
+    scales are per-(group, column), summed over groups after scaling)."""
     B, L = attn.shape[:2]
     if wo.ndim == 2:
-        return jnp.dot(attn.reshape(B, L, -1), wo, precision=precision,
-                       preferred_element_type=jnp.float32)
+        out = jnp.dot(attn.reshape(B, L, -1), wo, precision=precision,
+                      preferred_element_type=jnp.float32)
+        return out * scale if scale is not None else out
     kvh, gw, d = wo.shape
     ag = attn.reshape(B, L, kvh, gw)
+    if scale is not None:
+        out = jnp.einsum("blkf,kfd->blkd", ag, wo, precision=precision,
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(out * scale[:, 0], axis=2)
     return jnp.einsum("blkf,kfd->bld", ag, wo, precision=precision,
                       preferred_element_type=jnp.float32)
 
 
 def fused_ffn(z: jax.Array, wgu: jax.Array, w_down: jax.Array,
-              precision=None) -> jax.Array:
+              precision=None, scale_gu=None, scale_down=None) -> jax.Array:
     """SwiGLU on the fused gate|up layout.
 
     Standard: wgu [D, 2F], w_down [F, D].
     Blocked (checkpoint.fuse_param_tree ffn_block): wgu [NB, D, 2f],
     w_down [NB, f, D] — same math, summed over column blocks.
+    int8 weights dequantize via per-output scale post-multiplies —
+    `scale_gu` applies BEFORE the SiLU nonlinearity (it is not linear),
+    `scale_down` after the down-projection (per block, before the block
+    sum).
     """
     if wgu.ndim == 2:
         fd = w_down.shape[0]
         gu = jnp.dot(z, wgu, precision=precision,
                      preferred_element_type=jnp.float32)
+        if scale_gu is not None:
+            gu = gu * scale_gu
         ff = (jax.nn.silu(gu[..., :fd]) * gu[..., fd:]).astype(z.dtype)
-        return jnp.dot(ff, w_down, precision=precision,
-                       preferred_element_type=jnp.float32).astype(z.dtype)
+        out = jnp.dot(ff, w_down, precision=precision,
+                      preferred_element_type=jnp.float32)
+        if scale_down is not None:
+            out = out * scale_down
+        return out.astype(z.dtype)
     f = w_down.shape[1]
-    gu = jnp.einsum("...d,ndf->n...f", z, wgu, precision=precision,
+    gu = jnp.einsum("bld,ndf->nblf", z, wgu, precision=precision,
                     preferred_element_type=jnp.float32)
+    if scale_gu is not None:
+        gu = gu * scale_gu[:, None]        # [NB, 1, 2f] -> [NB, 1, 1, 2f]
     ff = (jax.nn.silu(gu[..., :f]) * gu[..., f:]).astype(z.dtype)
-    return jnp.einsum("n...f,nfd->...d", ff, w_down, precision=precision,
+    if scale_down is not None:
+        out = jnp.einsum("nblf,nfd->nbld", ff, w_down, precision=precision,
+                         preferred_element_type=jnp.float32)
+        return jnp.sum(out * scale_down[:, None], axis=0).astype(z.dtype)
+    return jnp.einsum("nblf,nfd->bld", ff, w_down, precision=precision,
                       preferred_element_type=jnp.float32).astype(z.dtype)
 
 

@@ -141,7 +141,7 @@ def plan_streamed(args):
     """
     import jax.numpy as jnp
 
-    wsize = jnp.dtype(args.dtype).itemsize
+    wsize = 1 if args.quant == "int8" else jnp.dtype(args.dtype).itemsize
     csize = jnp.dtype(args.kv_dtype).itemsize
     d, fd, hd = args.dim, args.hidden_dim, args.head_dim
     g, kvh, M = args.n_rep, args.kv_heads, args.max_seq_len
@@ -238,16 +238,29 @@ def _rms_scale(x, weight_row, eps):
     return xn * weight_row.astype(jnp.float32)
 
 
-def _swiglu_block(zn, w_gu, w_dn):
+def _wdot(x, w):
+    """x @ w with f32 accumulation.  int8 weights (quantize_param_tree) are
+    consumed via on-the-fly bf16 conversion — the caller applies the
+    per-output scales to the f32 result."""
+    if w.dtype == jnp.int8:
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
+
+def _swiglu_block(zn, w_gu, w_dn, s_gu=None, s_dn=None):
     """One SwiGLU column block: zn [1, D] f32; w_gu [D, 2f]; w_dn [f, D].
-    Returns the block's partial down-projection [1, D] f32."""
+    Returns the block's partial down-projection [1, D] f32.  int8 weights
+    dequantize via the per-output scales: s_gu [1, 2f] applies BEFORE the
+    SiLU nonlinearity, s_dn [1, D] after the down-projection."""
     fblk = w_dn.shape[0]
-    gu = jnp.dot(zn.astype(w_gu.dtype), w_gu,
-                 preferred_element_type=jnp.float32)
+    gu = _wdot(zn, w_gu)
+    if s_gu is not None:
+        gu = gu * s_gu
     gate = gu[:, :fblk]
     ff = gate * (1.0 / (1.0 + jnp.exp(-gate))) * gu[:, fblk:]
-    return jnp.dot(ff.astype(w_dn.dtype), w_dn,
-                   preferred_element_type=jnp.float32)
+    out = _wdot(ff, w_dn)
+    return out * s_dn if s_dn is not None else out
 
 
 def make_decode_kernel(n_heads: int, kv_heads: int, head_dim: int,
@@ -615,7 +628,7 @@ def _grouped_decode_layers(layers, x, pos, k_cache, v_cache, cos_row, sin_row,
 
 def make_streamed_kernel(n_heads: int, kv_heads: int, head_dim: int,
                          norm_eps: float, ndq: int, nm: int, ndo: int,
-                         nb: int, mb: int):
+                         nb: int, mb: int, quant: bool = False):
     """Kernel for the fully streamed 8B-class layout (plan_streamed).
 
     Grid (layers, KVH*(NDQ+NM+NDO) + NB).  Per KV-head group k:
@@ -643,13 +656,17 @@ def make_streamed_kernel(n_heads: int, kv_heads: int, head_dim: int,
     nsteps = attn_steps + nb
     inv_sqrt_hd = 1.0 / math.sqrt(hd)
 
-    def kernel(pos_ref,
-               x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
-               attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
-               k_in_ref, v_in_ref,
-               x_out_ref, k_row_ref, v_row_ref,
-               xn_s, qkv_s, q_s, krot_s, vnew_s, m_s, l_s, acc_s,
-               attn_s, hacc_s, zn_s, facc_s):
+    def kernel(pos_ref, x_ref, wqkv_ref, wo_ref, wgu_ref, wdown_ref,
+               *rest):
+        if quant:
+            (sqkv_ref, so_ref, sgu_ref, sdn_ref, *rest) = rest
+        else:
+            sqkv_ref = so_ref = sgu_ref = sdn_ref = None
+        (attn_norm_ref, ffn_norm_ref, cos_ref, sin_ref,
+         k_in_ref, v_in_ref,
+         x_out_ref, k_row_ref, v_row_ref,
+         xn_s, qkv_s, q_s, krot_s, vnew_s, m_s, l_s, acc_s,
+         attn_s, hacc_s, zn_s, facc_s) = rest
         layer = pl.program_id(0)
         j = pl.program_id(1)
         pos = pos_ref[0]
@@ -679,14 +696,14 @@ def make_streamed_kernel(n_heads: int, kv_heads: int, head_dim: int,
             db = wqkv_ref.shape[0]
             off = pl.multiple_of(r * db, db)
             xblk = xn_s[:, pl.ds(off, db)]
-            w = wqkv_ref[:]
-            qkv_s[:] = qkv_s[:] + jnp.dot(
-                xblk.astype(w.dtype), w, preferred_element_type=jnp.float32)
+            qkv_s[:] = qkv_s[:] + _wdot(xblk, wqkv_ref[:])
 
         # --- phase B: flash attention over cache M blocks --------------------
         @pl.when(jnp.logical_and(in_attn, r == ndq))
         def _():
-            qkv = qkv_s[:]
+            # The D-block partials accumulate unscaled; dequantize the
+            # finished projection once (per-output scales commute).
+            qkv = qkv_s[:] * sqkv_ref[:] if quant else qkv_s[:]
             for h_g in range(g):
                 q_s[h_g : h_g + 1] = rope_row(qkv[:, h_g * hd : (h_g + 1) * hd])
             k_rot = rope_row(qkv[:, gw : gw + hd])
@@ -748,9 +765,9 @@ def make_streamed_kernel(n_heads: int, kv_heads: int, head_dim: int,
         def _():
             dob = wo_ref.shape[1]
             off = pl.multiple_of((r - ndq - nm) * dob, dob)
-            w = wo_ref[:]
-            part = jnp.dot(attn_s[:].astype(w.dtype), w,
-                           preferred_element_type=jnp.float32)  # [1, DOB]
+            part = _wdot(attn_s[:], wo_ref[:])               # [1, DOB]
+            if quant:
+                part = part * so_ref[:]
             hacc_s[:, pl.ds(off, dob)] = hacc_s[:, pl.ds(off, dob)] + part
 
         # --- FFN column blocks ----------------------------------------------
@@ -761,8 +778,10 @@ def make_streamed_kernel(n_heads: int, kv_heads: int, head_dim: int,
 
         @pl.when(j >= attn_steps)
         def _():
-            facc_s[:] = facc_s[:] + _swiglu_block(zn_s[:], wgu_ref[:],
-                                                  wdown_ref[:])
+            facc_s[:] = facc_s[:] + _swiglu_block(
+                zn_s[:], wgu_ref[:], wdown_ref[:],
+                s_gu=sgu_ref[:] if quant else None,
+                s_dn=sdn_ref[:] if quant else None)
 
         @pl.when(j == nsteps - 1)
         def _():
@@ -786,15 +805,35 @@ def _streamed_decode_layers(layers, x, pos, k_cache, v_cache, cos_row,
     span = ndq + nm + ndo
     attn_steps = kvh * span
     nsteps = attn_steps + nb
+    quant = "wqkv_scale" in layers
 
     kernel = make_streamed_kernel(n_heads, kv_heads, head_dim, norm_eps,
-                                  ndq, nm, ndo, nb, mb)
+                                  ndq, nm, ndo, nb, mb, quant=quant)
 
     def k_of(j):
         return jnp.minimum(j // span, kvh - 1)
 
     def r_of(j):
         return j - jnp.minimum(j // span, kvh - 1) * span
+
+    scale_specs, scale_args = [], []
+    if quant:
+        scale_specs = [
+            pl.BlockSpec((None, None, 1, qkvg),
+                         lambda l, j, sref: (l, k_of(j), 0, 0)),
+            pl.BlockSpec((None, None, 1, dob),
+                         lambda l, j, sref: (l, k_of(j), 0,
+                                             jnp.clip(r_of(j) - ndq - nm,
+                                                      0, ndo - 1))),
+            pl.BlockSpec((None, None, 1, gfd2),
+                         lambda l, j, sref: (l, jnp.clip(j - attn_steps,
+                                                         0, nb - 1), 0, 0)),
+            pl.BlockSpec((None, None, 1, d),
+                         lambda l, j, sref: (l, jnp.clip(j - attn_steps,
+                                                         0, nb - 1), 0, 0)),
+        ]
+        scale_args = [layers["wqkv_scale"], layers["wo_scale"],
+                      layers["wgu_scale"], layers["w_down_scale"]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -814,6 +853,7 @@ def _streamed_decode_layers(layers, x, pos, k_cache, v_cache, cos_row,
             pl.BlockSpec((None, None, fb, d),
                          lambda l, j, sref: (l, jnp.clip(j - attn_steps,
                                                          0, nb - 1), 0, 0)),
+            *scale_specs,
             pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
             pl.BlockSpec((None, 1, d), lambda l, j, sref: (l, 0, 0)),
             pl.BlockSpec((1, hd // 2), lambda l, j, sref: (0, 0)),
@@ -867,6 +907,7 @@ def _streamed_decode_layers(layers, x, pos, k_cache, v_cache, cos_row,
     )(
         pos.reshape(1).astype(jnp.int32),
         x, layers["wqkv"], layers["wo"], layers["wgu"], layers["w_down"],
+        *scale_args,
         layers["attn_norm"], layers["ffn_norm"], cos_row, sin_row,
         k_cache, v_cache,
     )

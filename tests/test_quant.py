@@ -1,0 +1,123 @@
+"""int8 weight-only quantization (checkpoint.quantize_param_tree).
+
+Strategy: snap synthetic weights onto an exact (int8 grid x per-channel
+scale) lattice first.  Quantization then roundtrips exactly — the max
+element of every channel hits +-127*s, so the quantizer recovers the same
+scale — and the int8 engine computes the *same real numbers* as the fp32
+engine built from the snapped weights (post-scale vs pre-scale, which
+commute), giving sharp greedy-identity assertions instead of loose
+quantization-error tolerances.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from llama3np_tpu import preset, synthetic_weights
+from llama3np_tpu.checkpoint import (build_param_tree, fuse_param_tree,
+                                     quantize_param_tree)
+from llama3np_tpu.models.llama import Llama
+
+
+def grid_weights(args, seed):
+    """Synthetic weights snapped to an exactly-int8-representable grid
+    (per-output-channel: axis=-1 of the [out, in] npz layout; the embedding
+    row rule coincides)."""
+    w = synthetic_weights(args, seed)
+    out = {}
+    for k, v in w.items():
+        v = np.asarray(v, np.float32)
+        if v.ndim != 2:
+            out[k] = v
+            continue
+        s = np.maximum(np.max(np.abs(v), axis=-1, keepdims=True) / 127.0,
+                       1e-12)
+        out[k] = (np.clip(np.rint(v / s), -127, 127) * s).astype(np.float32)
+    return out
+
+
+def test_quantize_roundtrip_exact():
+    args = preset("test-tiny")
+    weights = grid_weights(args, seed=5)
+    fused = fuse_param_tree(build_param_tree(weights, args), 0)
+    q = quantize_param_tree(fused)
+    for kind in ("wqkv", "wo", "wgu", "w_down"):
+        assert q["layers"][kind].dtype == np.int8
+        deq = q["layers"][kind].astype(np.float32) * q["layers"][kind + "_scale"]
+        assert_allclose(deq, fused["layers"][kind], rtol=0, atol=1e-6)
+    deq_head = q["lm_head"].astype(np.float32) * q["lm_head_scale"]
+    assert_allclose(deq_head, fused["lm_head"], rtol=0, atol=1e-6)
+    deq_emb = q["tok_embedding"].astype(np.float32) * q["tok_embedding_scale"]
+    assert_allclose(deq_emb, fused["tok_embedding"], rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("kw,rtol,atol", [
+    # Standard fused layout: scales are per-full-column, exactly recovering
+    # the grid -> fp32-level agreement and greedy identity.
+    (dict(), 2e-4, 1e-4),
+    # Grouped/blocked layouts re-quantize per (block, column) — finer scales
+    # than the snapping grid, so small re-rounding is expected (a quality
+    # refinement, not an error); assert a tight quantization envelope.
+    (dict(pallas_ffn_block=32, pallas_attn_group=True), 1e-2, 5e-3),
+])
+def test_int8_engine_matches_fp32_on_grid_weights(rng, kw, rtol, atol):
+    args = preset("test-tiny", attn_impl="xla", **kw)
+    args_q = preset("test-tiny", attn_impl="xla", quant="int8", **kw)
+    weights = grid_weights(args, seed=5)
+    ids = rng.integers(3, args.vocab_size, size=(1, 5)).astype(np.int32)
+
+    eng = Llama(weights, args)
+    eng_q = Llama(weights, args_q)
+    assert eng_q.params["layers"]["wqkv"].dtype == jnp.int8
+
+    lg = eng(ids, 0)
+    lg_q = eng_q(ids, 0)
+    assert_allclose(lg_q, lg, rtol=rtol, atol=atol)
+    if not kw:  # exact grid: greedy streams identical
+        eng.reset(), eng_q.reset()
+        want = np.asarray(eng.generate_tokens(ids, 10))[0].tolist()
+        got = np.asarray(eng_q.generate_tokens(ids, 10))[0].tolist()
+        assert got == want
+
+
+def test_int8_streamed_kernel_close(rng):
+    """int8 + the streamed Pallas layout (interpret mode): the kernel dots
+    int8 blocks via bf16 conversion, so the contract vs the int8 XLA scan is
+    numeric closeness (bf16 envelope) plus identical first token (prefill is
+    shared XLA)."""
+    kw = dict(quant="int8", pallas_stream=(32, 16, 32, 32))
+    args_x = preset("test-tiny", attn_impl="xla", **kw)
+    args_p = preset("test-tiny", attn_impl="pallas", **kw)
+    weights = grid_weights(args_x, seed=5)
+    ids = rng.integers(3, args_x.vocab_size, size=(1, 5)).astype(np.int32)
+
+    eng_x = Llama(weights, args_x)
+    eng_p = Llama(weights, args_p)
+    assert eng_p.cfg.stream_plan == (32, 16, 32, 32)
+    t_x = np.asarray(eng_x.generate_tokens(ids, 6))
+    t_p = np.asarray(eng_p.generate_tokens(ids, 6))
+    assert t_x[0, 0] == t_p[0, 0]
+
+
+def test_int8_requires_fused_and_single_chip():
+    args = preset("test-tiny", quant="int8", fuse_matmuls=False)
+    with pytest.raises(ValueError, match="fuse_matmuls"):
+        Llama(synthetic_weights(args, 0), args)
+
+
+def test_int8_memory_halves():
+    """The quantized tree's matmul weights are ~1/4 the fp32 bytes (int8 +
+    per-channel f32 scales)."""
+    args = preset("test-tiny")
+    fused = fuse_param_tree(build_param_tree(synthetic_weights(args, 0), args), 0)
+    q = quantize_param_tree(fused)
+
+    def nbytes(t):
+        return sum(np.asarray(v).nbytes for v in jax.tree.leaves(t))
+
+    assert nbytes(q["layers"]) < 0.3 * nbytes(fused["layers"])
