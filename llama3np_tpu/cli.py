@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=None,
                    choices=[None, "float32", "bfloat16", "float16"])
     p.add_argument("--attn-impl", default=None, choices=[None, "auto", "xla", "pallas"])
+    p.add_argument("--quant", default=None, choices=[None, "int8"],
+                   help="weight-only quantization (int8 per-output-channel "
+                        "scales; fits llama3-8b on one 16 GB chip)")
     p.add_argument("--precision", default=None, choices=[None, "default", "highest"])
     p.add_argument("--temperature", type=float, default=0.0,
                    help="sampling temperature (0 = greedy, the reference behavior)")
@@ -69,6 +72,8 @@ def main(argv=None) -> int:
         overrides["dtype"] = args_ns.dtype
     if args_ns.attn_impl:
         overrides["attn_impl"] = args_ns.attn_impl
+    if args_ns.quant:
+        overrides["quant"] = args_ns.quant
     margs = preset(args_ns.preset, **overrides)
 
     tokenizer = Tokenizer(args_ns.tokenizer, fix_decode=args_ns.fixed_decode)

@@ -121,3 +121,44 @@ def test_int8_memory_halves():
         return sum(np.asarray(v).nbytes for v in jax.tree.leaves(t))
 
     assert nbytes(q["layers"]) < 0.3 * nbytes(fused["layers"])
+
+
+def test_int8_serving_matches_solo(rng):
+    """The continuous-batching engine serves a quantized model: the ragged
+    decode and admission-prefill paths consume the scale leaves, and each
+    request reproduces its solo int8 greedy stream."""
+    from llama3np_tpu.serving import BatchEngine
+
+    args = preset("test-tiny", quant="int8")
+    weights = grid_weights(args, seed=5)
+    eng = Llama(weights, args)
+    prompts = [rng.integers(3, args.vocab_size, size=n).tolist()
+               for n in (4, 7)]
+
+    def solo(p):
+        out = []
+        for t in np.asarray(eng.generate_tokens(
+                np.array([p], np.int32), 8))[0].tolist():
+            if t in (1, 2):
+                break
+            out.append(t)
+        return out
+
+    wants = [solo(p) for p in prompts]
+    be = BatchEngine(eng, capacity=2)
+    r0 = be.submit(prompts[0], 8)
+    be.step(2)
+    r1 = be.submit(prompts[1], 8)
+    be.run_to_completion()
+    assert r0.generated == wants[0]
+    assert r1.generated == wants[1]
+
+
+def test_int8_cli_flag(tmp_path):
+    """--quant int8 runs end-to-end through the extended CLI."""
+    from llama3np_tpu.cli import main
+
+    tok = "/root/reference/tokenizer.model.np"
+    rc = main(["--synthetic", "--preset", "test-tiny", "--quant", "int8",
+               "--tokenizer", tok, "--no-stream", "hello"])
+    assert rc == 0
