@@ -89,8 +89,10 @@ def _keys(weights):
 
 
 def quantize_param_tree(params: Dict) -> Dict:
-    """Weight-only int8 quantization of the fused single-chip tree
-    (checkpoint.fuse_param_tree output).
+    """Weight-only int8 quantization of the parameter tree — either the
+    fused single-chip layout (checkpoint.fuse_param_tree output) or the
+    split layout tensor parallelism keeps (build_param_tree output; scale
+    leaves then shard with their weights, parallel.sharding.param_pspecs).
 
     Matmul weights (wqkv/wo/wgu/w_down in any fused layout, lm_head) get
     per-output-channel symmetric scales: w8 = round(w / s) with
@@ -113,7 +115,10 @@ def quantize_param_tree(params: Dict) -> Dict:
         return w8, s
 
     ly = dict(params["layers"])
-    for kind in ("wqkv", "wo", "wgu", "w_down"):
+    fused = "wqkv" in ly
+    kinds = (("wqkv", "wo", "wgu", "w_down") if fused
+             else ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"))
+    for kind in kinds:
         w8, s = q(ly[kind], axis=-2)
         ly[kind] = w8
         ly[kind + "_scale"] = s

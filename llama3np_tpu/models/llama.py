@@ -83,6 +83,21 @@ def lm_logits(params: Dict, h, precision) -> jax.Array:
     return logits * s if s is not None else logits
 
 
+def _split_qkv(x, lp: Dict, cfg: "StaticConfig", B, L):
+    """Q/K/V projections on split weights (the TP layout); int8 weights
+    dequantize via the per-output-channel scale post-multiply."""
+    def proj(name, heads):
+        out = jnp.dot(x, lp[name], precision=cfg.precision,
+                      preferred_element_type=jnp.float32)
+        s = lp.get(name + "_scale")
+        if s is not None:
+            out = out * s
+        return out.astype(x.dtype).reshape(B, L, heads, cfg.head_dim)
+
+    return (proj("wq", cfg.n_heads), proj("wk", cfg.kv_heads),
+            proj("wv", cfg.kv_heads))
+
+
 def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                 h, lp: Dict, ck, cv):
     """One transformer block. h: [B, L, D]; ck/cv: this layer's cache slice."""
@@ -95,15 +110,7 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                                 cfg.head_dim, precision=cfg.precision,
                                 scale=lp.get("wqkv_scale"))
     else:
-        q = jnp.dot(x, lp["wq"], precision=cfg.precision,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        k = jnp.dot(x, lp["wk"], precision=cfg.precision,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        v = jnp.dot(x, lp["wv"], precision=cfg.precision,
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-        q = q.reshape(B, L, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(B, L, cfg.kv_heads, cfg.head_dim)
-        v = v.reshape(B, L, cfg.kv_heads, cfg.head_dim)
+        q, k, v = _split_qkv(x, lp, cfg, B, L)
     rope = ops.apply_rope_split if cfg.rope_split else ops.apply_rope
     q = rope(q, cos, sin)
     k = rope(k, cos, sin)
@@ -144,7 +151,10 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                               scale_down=lp.get("w_down_scale"))
     else:
         h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
-                           precision=cfg.precision)
+                           precision=cfg.precision,
+                           s_gate=lp.get("w_gate_scale"),
+                           s_up=lp.get("w_up_scale"),
+                           s_down=lp.get("w_down_scale"))
     return h, ck, cv
 
 
@@ -228,15 +238,7 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                     cfg.head_dim, precision=cfg.precision,
                                     scale=lp.get("wqkv_scale"))
         else:
-            q = jnp.dot(x, lp["wq"], precision=cfg.precision,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-            k = jnp.dot(x, lp["wk"], precision=cfg.precision,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-            v = jnp.dot(x, lp["wv"], precision=cfg.precision,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-            q = q.reshape(B, 1, cfg.n_heads, cfg.head_dim)
-            k = k.reshape(B, 1, cfg.kv_heads, cfg.head_dim)
-            v = v.reshape(B, 1, cfg.kv_heads, cfg.head_dim)
+            q, k, v = _split_qkv(x, lp, cfg, B, 1)
         q = rope_rows(q)
         k = rope_rows(k)
         if block_table is not None:
@@ -266,7 +268,10 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                   scale_down=lp.get("w_down_scale"))
         else:
             h = h + ops.swiglu(z, lp["w_gate"], lp["w_up"], lp["w_down"],
-                               precision=cfg.precision)
+                               precision=cfg.precision,
+                               s_gate=lp.get("w_gate_scale"),
+                               s_up=lp.get("w_up_scale"),
+                               s_down=lp.get("w_down_scale"))
         return h, (ck, cv)
 
     h, (ck_new, cv_new) = jax.lax.scan(
@@ -381,10 +386,13 @@ class Llama:
             params = permute_rope_layout(params, args)
         self.mesh = mesh
         if mesh is not None:
-            if args.quant:
-                raise ValueError("quant is single-chip only (no sharding "
-                                 "rules for scale leaves yet)")
             from ..parallel.sharding import shard_params, shard_cache
+            if args.quant == "int8":
+                # Quantize the SPLIT tree (the TP layout keeps split
+                # weights); scale leaves shard with their weights
+                # (parallel.sharding.param_pspecs quant specs).
+                from ..checkpoint import quantize_param_tree
+                params = quantize_param_tree(params)
             # Pallas kernels (incl. flash prefill) are single-chip programs —
             # GSPMD cannot partition a pallas_call over TP-sharded operands,
             # so sharded engines keep the pure-XLA paths.
@@ -398,8 +406,8 @@ class Llama:
             fused = args.fuse_matmuls
             stream = ()
             if args.quant == "int8" and not fused:
-                raise ValueError("quant='int8' requires fuse_matmuls "
-                                 "(the quantized tree is the fused layout)")
+                from ..checkpoint import quantize_param_tree
+                params = quantize_param_tree(params)  # split layout
             if fused:
                 from ..checkpoint import fuse_param_tree, quantize_param_tree
                 from ..ops.kernels.decode_step import (plan_layout,

@@ -30,13 +30,24 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
-           precision=None) -> jax.Array:
-    """SwiGLU FFN: down( silu(x@gate) * (x@up) )."""
-    gate = jnp.dot(x, w_gate, precision=precision, preferred_element_type=jnp.float32)
-    up = jnp.dot(x, w_up, precision=precision, preferred_element_type=jnp.float32)
+           precision=None, s_gate=None, s_up=None, s_down=None) -> jax.Array:
+    """SwiGLU FFN: down( silu(x@gate) * (x@up) ).  int8 weights dequantize
+    via the per-output-channel scale post-multiplies (gate's before the
+    SiLU nonlinearity)."""
+    gate = jnp.dot(x, w_gate, precision=precision,
+                   preferred_element_type=jnp.float32)
+    up = jnp.dot(x, w_up, precision=precision,
+                 preferred_element_type=jnp.float32)
+    if s_gate is not None:
+        gate = gate * s_gate
+    if s_up is not None:
+        up = up * s_up
     h = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return jnp.dot(h, w_down, precision=precision,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.dot(h, w_down, precision=precision,
+                  preferred_element_type=jnp.float32)
+    if s_down is not None:
+        out = out * s_down
+    return out.astype(x.dtype)
 
 
 def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,

@@ -91,9 +91,17 @@ def make_multihost_mesh(dp: int = 1, tp: int = 1) -> Mesh:
     return Mesh(devices, axis_names=("dp", "tp"))
 
 
-def param_pspecs(args: ModelArgs) -> Dict:
-    """PartitionSpec tree matching checkpoint.build_param_tree's structure."""
-    return {
+def param_pspecs(args: ModelArgs, quant: bool = False) -> Dict:
+    """PartitionSpec tree matching checkpoint.build_param_tree's structure.
+
+    With `quant`, adds specs for the int8 scale leaves
+    (checkpoint.quantize_param_tree on the split tree): per-output-channel
+    scales shard exactly like their weight's output axis — column-sharded
+    weights (wq/wk/wv/gate/up, lm_head) shard their scales over "tp",
+    row-sharded weights (wo/w_down) replicate theirs (full output columns
+    live on every shard; the psum after the partitioned matmul is unchanged
+    because the post-scale distributes over the sum of partial products)."""
+    specs = {
         "tok_embedding": P("tp", None),
         "layers": {
             "wq": P(None, None, "tp"),
@@ -109,6 +117,19 @@ def param_pspecs(args: ModelArgs) -> Dict:
         "norm": P(None),
         "lm_head": P(None, "tp"),
     }
+    if quant:
+        specs["layers"].update({
+            "wq_scale": P(None, None, "tp"),
+            "wk_scale": P(None, None, "tp"),
+            "wv_scale": P(None, None, "tp"),
+            "wo_scale": P(None, None, None),
+            "w_gate_scale": P(None, None, "tp"),
+            "w_up_scale": P(None, None, "tp"),
+            "w_down_scale": P(None, None, None),
+        })
+        specs["tok_embedding_scale"] = P("tp", None)
+        specs["lm_head_scale"] = P(None, "tp")
+    return specs
 
 
 def cache_pspecs() -> Dict:
@@ -147,7 +168,8 @@ def shard_params(params: Dict, mesh: Mesh, args: ModelArgs) -> Dict:
     placed before the next loads) — the npz loader is lazy, so peak host
     memory is one stacked weight."""
     validate_tp(args, mesh)
-    shardings = _named(mesh, param_pspecs(args))
+    quant = "wq_scale" in params["layers"]
+    shardings = _named(mesh, param_pspecs(args, quant=quant))
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s), params, shardings
     )

@@ -104,10 +104,21 @@ def test_int8_streamed_kernel_close(rng):
     assert t_x[0, 0] == t_p[0, 0]
 
 
-def test_int8_requires_fused_and_single_chip():
-    args = preset("test-tiny", quant="int8", fuse_matmuls=False)
-    with pytest.raises(ValueError, match="fuse_matmuls"):
-        Llama(synthetic_weights(args, 0), args)
+def test_int8_split_layout_matches_fused(rng):
+    """int8 on the split (unfused) tree — the TP weight layout — matches the
+    fused int8 engine exactly on grid weights (identical per-full-column
+    scales either way)."""
+    weights = grid_weights(preset("test-tiny"), seed=5)
+    args_f = preset("test-tiny", attn_impl="xla", quant="int8")
+    args_s = preset("test-tiny", attn_impl="xla", quant="int8",
+                    fuse_matmuls=False)
+    ids = rng.integers(3, 512, size=(1, 5)).astype(np.int32)
+    eng_f = Llama(weights, args_f)
+    eng_s = Llama(weights, args_s)
+    assert eng_s.params["layers"]["wq"].dtype == jnp.int8
+    want = np.asarray(eng_f.generate_tokens(ids, 8)).tolist()
+    got = np.asarray(eng_s.generate_tokens(ids, 8)).tolist()
+    assert got == want
 
 
 def test_int8_memory_halves():
@@ -162,3 +173,29 @@ def test_int8_cli_flag(tmp_path):
     rc = main(["--synthetic", "--preset", "test-tiny", "--quant", "int8",
                "--tokenizer", tok, "--no-stream", "hello"])
     assert rc == 0
+
+
+def test_int8_tensor_parallel_matches_single_chip(rng):
+    """int8 + TP on the virtual 8-device mesh: scale leaves shard with their
+    weights, and the sharded engine reproduces the single-chip int8 greedy
+    stream (the 70B-class deployment shape: int8 weights are what fit a
+    140 GB model onto an 8-chip v5e pod)."""
+    from llama3np_tpu.parallel import make_mesh
+
+    args = preset("test-tiny", attn_impl="xla", quant="int8",
+                  fuse_matmuls=False, max_batch_size=2)
+    weights = grid_weights(args, seed=5)
+    ids = rng.integers(3, args.vocab_size, size=(2, 5)).astype(np.int32)
+
+    solo = Llama(weights, args)
+    tp = Llama(weights, args, mesh=make_mesh(2, 2))
+    assert tp.params["layers"]["wq"].dtype == jnp.int8
+    assert tp.params["layers"]["wq_scale"].sharding.spec[-1] == "tp"
+
+    lg = solo(ids, 0)
+    lg_tp = tp(ids, 0)
+    assert_allclose(lg_tp, lg, rtol=2e-4, atol=1e-4)
+    solo.reset(), tp.reset()
+    want = np.asarray(solo.generate_tokens(ids, 8)).tolist()
+    got = np.asarray(tp.generate_tokens(ids, 8)).tolist()
+    assert got == want
