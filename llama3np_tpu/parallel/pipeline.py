@@ -1,0 +1,246 @@
+"""Pipeline parallelism: layers stage-sharded over a ("pp",) mesh axis.
+
+Tensor parallelism (sharding.py) splits every layer across chips; pipeline
+parallelism instead gives each chip a contiguous BLOCK of whole layers — the
+deployment shape for models whose weights exceed one chip's HBM but whose
+layers individually fit (e.g. llama3-70b int8 across a pod when TP's
+per-layer collectives would cross slow links).  The reference has no
+parallelism of any kind (SURVEY §5); this is TPU-native new capability,
+built on `shard_map` + `ppermute` — no hand-written communication beyond
+the ring hop.
+
+Design (inference, single stream or batch):
+
+  * `params["layers"]` leaves are sharded on their leading layer axis over
+    "pp" (stage s holds layers [s*NL/S, (s+1)*NL/S)); embedding, final
+    norm, and lm_head are replicated.  The KV cache shards the same way.
+  * A forward is S ring rotations: every stage runs its LOCAL layer scan on
+    the hidden state it currently holds, then `ppermute`s it to the next
+    stage.  The real activation visits stages in order; other stages'
+    compute that round is pipeline bubble (the classic single-microbatch
+    cost — batch/microbatch rotation fills it, and the memory-capacity win
+    is independent of the bubble).
+  * Cache correctness under the rotation: every stage executes every round,
+    but only the round where it holds the real activation may write its
+    cache slice — commits are masked with `rotation == stage_index`
+    (`jax.lax.axis_index("pp")`).
+  * After the last rotation the final hidden state lives on the LAST stage;
+    a masked psum broadcasts its logits so every stage agrees on the next
+    token (greedy decode stays a pure ring program — one jitted
+    computation for N tokens, same as the single-chip scan).
+
+Validated on the virtual CPU mesh (tests/test_pipeline.py): token identity
+with the single-chip engine, stage-local weight/cache shapes, and the
+driver's dryrun (a pp generate alongside the dp/tp checks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelArgs
+from ..models.llama import StaticConfig, _layer_step, embed_tokens, lm_logits
+
+
+def make_pp_mesh(stages: int, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if stages > len(devices):
+        raise ValueError(f"pp={stages} needs {stages} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.array(devices[:stages]), axis_names=("pp",))
+
+
+def pp_param_pspecs(params: Dict) -> Dict:
+    """Layer-stacked leaves shard on axis 0 over "pp"; everything else is
+    replicated.  Structure-matched to the (split-weight) param tree."""
+    def layer_spec(a):
+        return P(*(("pp",) + (None,) * (np.ndim(a) - 1)))
+
+    return {
+        "tok_embedding": P(),
+        "layers": {k: layer_spec(v) for k, v in params["layers"].items()},
+        "norm": P(),
+        "lm_head": P(),
+        **({"tok_embedding_scale": P()} if "tok_embedding_scale" in params
+           else {}),
+        **({"lm_head_scale": P()} if "lm_head_scale" in params else {}),
+    }
+
+
+def shard_params_pp(params: Dict, mesh: Mesh, args: ModelArgs) -> Dict:
+    stages = mesh.shape["pp"]
+    if args.n_layers % stages:
+        raise ValueError(f"pp={stages} must divide n_layers {args.n_layers}")
+    specs = pp_param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_cache_pp(cache: Dict, mesh: Mesh) -> Dict:
+    spec = NamedSharding(mesh, P("pp"))
+    return jax.tree.map(lambda x: jax.device_put(x, spec), cache)
+
+
+def _local_scan(cfg: StaticConfig, first_chunk: bool, params_rest, layers,
+                h, ck, cv, pos, cos_l, sin_l):
+    """This stage's layer scan (layers/ck/cv are the LOCAL shards)."""
+    def step(h, xs):
+        lp, ck, cv = xs
+        h, ck, cv = _layer_step(cfg, first_chunk, pos, cos_l, sin_l,
+                                h, lp, ck, cv)
+        return h, (ck, cv)
+
+    h, (ck, cv) = jax.lax.scan(step, h, (layers, ck, cv))
+    return h, ck, cv
+
+
+def _rotate(cfg: StaticConfig, first_chunk: bool, stages: int,
+            params, h, ck, cv, pos, cos_l, sin_l):
+    """S ring rotations; returns (final h valid on every stage via masked
+    psum at the caller, updated local cache)."""
+    stage = jax.lax.axis_index("pp")
+    perm = [(i, (i + 1) % stages) for i in range(stages)]
+
+    def body(t, carry):
+        h, ck, cv = carry
+        h2, ck2, cv2 = _local_scan(cfg, first_chunk, params,
+                                   params["layers"], h, ck, cv,
+                                   pos, cos_l, sin_l)
+        live = t == stage  # this stage held the real activation this round
+        ck = jnp.where(live, ck2, ck)
+        cv = jnp.where(live, cv2, cv)
+        h = jnp.where(live, h2, h)
+        h = jax.lax.ppermute(h, "pp", perm)
+        return h, ck, cv
+
+    h, ck, cv = jax.lax.fori_loop(0, stages, body, (h, ck, cv))
+    # After S hops the fully-processed activation has wrapped around to
+    # stage 0; it is identical on no other stage, so mask + psum replicates.
+    h = jax.lax.psum(jnp.where(stage == 0, h, 0.0), "pp")
+    return h, ck, cv
+
+
+def pp_generate_fn(cfg: StaticConfig, stages: int, prompt_len: int,
+                   num_tokens: int):
+    """Build the shard_map-able greedy generation body: prefill the prompt
+    through the ring once, then scan decode steps (each token = one ring
+    pass)."""
+
+    def fn(params, ids, cache, cos, sin):
+        # params/cache leaves arrive as LOCAL shards ([NL/S, ...]).
+        ck, cv = cache["k"], cache["v"]
+        pos0 = jnp.int32(0)
+        h = embed_tokens(params, ids)                     # [B, L, D]
+        cos_l = jax.lax.dynamic_slice_in_dim(cos, pos0, prompt_len)
+        sin_l = jax.lax.dynamic_slice_in_dim(sin, pos0, prompt_len)
+        h, ck, cv = _rotate(cfg, True, stages, params, h, ck, cv,
+                            pos0, cos_l, sin_l)
+        from ..ops import core as ops
+        hn = ops.rms_norm(h[:, -1:, :], params["norm"], cfg.norm_eps)
+        tok = jnp.argmax(lm_logits(params, hn, cfg.precision)[:, -1, :],
+                         axis=-1).astype(jnp.int32)
+
+        def step(carry, _):
+            tok, pos, ck, cv = carry
+            h = embed_tokens(params, tok[:, None])
+            cos_1 = jax.lax.dynamic_slice_in_dim(cos, pos, 1)
+            sin_1 = jax.lax.dynamic_slice_in_dim(sin, pos, 1)
+            h, ck, cv = _rotate(cfg, False, stages, params, h, ck, cv,
+                                pos, cos_1, sin_1)
+            hn = ops.rms_norm(h[:, -1:, :], params["norm"], cfg.norm_eps)
+            nxt = jnp.argmax(lm_logits(params, hn, cfg.precision)[:, -1, :],
+                             axis=-1).astype(jnp.int32)
+            return (nxt, pos + 1, ck, cv), nxt
+
+        (_, _, ck, cv), toks = jax.lax.scan(
+            step, (tok, jnp.int32(prompt_len), ck, cv),
+            length=max(num_tokens - 1, 0))
+        out = jnp.concatenate([tok[:, None], toks.T[:, : num_tokens - 1]],
+                              axis=1)
+        return out, {"k": ck, "v": cv}
+
+    return fn
+
+
+class PipelinedLlama:
+    """Greedy-inference engine with layers pipeline-sharded over `mesh`.
+
+    Scope (deliberate): split-weight layout, XLA paths, greedy decode — the
+    memory-capacity deployment shape.  Composable with int8 weight-only
+    quantization (scale leaves stage-shard on the same layer axis).
+    """
+
+    def __init__(self, model_source, args: ModelArgs, mesh: Mesh,
+                 precision: Optional[str] = None):
+        from ..checkpoint import (build_param_tree, load_parameters,
+                                  permute_rope_layout, quantize_param_tree)
+        from ..kvcache import init_cache
+        from ..ops.core import rope_tables
+
+        self.args = args.validate()
+        self.mesh = mesh
+        self.stages = mesh.shape["pp"]
+        weights = (load_parameters(model_source)
+                   if isinstance(model_source, str) else model_source)
+        params = build_param_tree(weights, args)
+        rope_split = getattr(args, "rope_split_layout", True)
+        if rope_split:
+            params = permute_rope_layout(params, args)
+        if args.quant == "int8":
+            params = quantize_param_tree(params)
+        self.cfg = StaticConfig.from_args(
+            args,
+            {None: None, "default": None,
+             "highest": jax.lax.Precision.HIGHEST}[precision],
+            fused=False, unroll=1, rope_split=rope_split,
+        )._replace(flash_prefill=False, paged_kernel=0)
+        self.params = shard_params_pp(params, mesh, args)
+        cos, sin = rope_tables(args.head_dim, args.max_seq_len,
+                               args.rope_theta, jnp.float32)
+        self.cos, self.sin = cos, sin
+        self._init_cache = lambda B: shard_cache_pp(
+            init_cache(args, B), mesh)
+        self._fns = {}
+
+    def generate_tokens(self, input_ids, num_tokens: int):
+        try:
+            from jax import shard_map
+            rep_kw = {"check_vma": False}
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+            rep_kw = {"check_rep": False}
+
+        ids = np.asarray(input_ids, np.int32)
+        B, L = ids.shape
+        key = (B, L, num_tokens)
+        if key not in self._fns:
+            body = pp_generate_fn(self.cfg, self.stages, L, num_tokens)
+            pspecs = pp_param_pspecs(self.params)
+            fn = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(pspecs, P(), {"k": P("pp"), "v": P("pp")},
+                          P(), P()),
+                out_specs=(P(), {"k": P("pp"), "v": P("pp")}),
+                **rep_kw,
+            )
+            self._fns[key] = jax.jit(fn, donate_argnums=(2,))
+        toks, _ = self._fns[key](self.params, jnp.asarray(ids),
+                                 self._init_cache(B), self.cos, self.sin)
+        return toks
+
+    def stage_param_bytes(self) -> int:
+        """Per-stage weight bytes (the memory-capacity point of PP)."""
+        total = 0
+        for leaf in jax.tree.leaves(self.params):
+            shard = leaf.addressable_shards[0].data
+            total = total + shard.nbytes
+        return total
