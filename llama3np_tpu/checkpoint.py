@@ -129,6 +129,40 @@ def quantize_param_tree(params: Dict) -> Dict:
             "lm_head": head8, "lm_head_scale": head_s}
 
 
+def save_quantized_npz(params: Dict, path: str, rope_split: bool = True):
+    """Persist a quantized SPLIT param tree (build_param_tree [+
+    permute_rope_layout] + quantize_param_tree) as a single .npz — int8
+    payloads stay int8 on disk (~4x smaller than the fp32 checkpoint), so a
+    later boot skips the host-side quantization transforms entirely
+    (`Llama.from_quantized`).  Keys are dotted tree paths plus a
+    `__rope_split__` marker recording whether wq/wk columns were already
+    permuted to the split-halves RoPE layout."""
+    flat = {"__rope_split__": np.asarray(int(rope_split))}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                flat[f"{k}.{kk}"] = np.asarray(vv)
+        else:
+            flat[k] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_quantized_npz(path: str):
+    """Load a `save_quantized_npz` checkpoint; returns (param_tree,
+    rope_split)."""
+    npz = np.load(path)
+    out: Dict = {"layers": {}}
+    rope_split = True
+    for k in npz.files:
+        if k == "__rope_split__":
+            rope_split = bool(int(npz[k]))
+        elif k.startswith("layers."):
+            out["layers"][k[len("layers."):]] = npz[k]
+        else:
+            out[k] = npz[k]
+    return out, rope_split
+
+
 def permute_rope_layout(params: Dict, args: ModelArgs) -> Dict:
     """Permute wq/wk output columns from interleaved RoPE pairs to the
     split-halves layout (ops.rope_split_permutation).  Exact: Q and K are

@@ -132,6 +132,16 @@ PRESETS = {
         dim=2048, n_layers=22, n_heads=32, n_kv_heads=4, vocab_size=32000,
         max_seq_len=2048, hidden_dim=5632, rope_theta=10000.0, norm_eps=1e-5,
     ),
+    "llama3.2-1b": dict(
+        dim=2048, n_layers=16, n_heads=32, n_kv_heads=8, vocab_size=128256,
+        max_seq_len=8192, hidden_dim=8192, rope_theta=500000.0, norm_eps=1e-5,
+        dtype="bfloat16", tie_word_embeddings=True,
+    ),
+    "llama3.2-3b": dict(
+        dim=3072, n_layers=28, n_heads=24, n_kv_heads=8, vocab_size=128256,
+        max_seq_len=8192, hidden_dim=8192, rope_theta=500000.0, norm_eps=1e-5,
+        dtype="bfloat16", tie_word_embeddings=True,
+    ),
     "llama3-8b": dict(
         dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, vocab_size=128256,
         max_seq_len=8192, hidden_dim=14336, rope_theta=500000.0, norm_eps=1e-5,

@@ -195,3 +195,29 @@ def test_ffn_hidden_dim_rule():
     # stories15M: 2*4*288/3 = 768 exactly (reference comment llama3.py:98).
     assert ModelArgs(dim=288).hidden_dim == 768
     assert preset("stories110M").hidden_dim == 2048
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", ["llama3.2-1b", "llama3.2-3b"])
+def test_llama32_presets_smoke(name, rng):
+    """llama3.2 presets: GQA shapes, tied embeddings, and the full pipeline
+    on a 2-layer shrunk-vocab variant (synthetic weights, CPU)."""
+    from llama3np_tpu import preset, synthetic_weights
+    from llama3np_tpu.models.llama import Llama
+
+    full = preset(name)
+    assert full.tie_word_embeddings and full.n_kv_heads == 8
+    args = preset(name, n_layers=2, vocab_size=1024, max_seq_len=64,
+                  dtype="float32", kv_dtype="float32")
+    weights = synthetic_weights(args, seed=3)
+    weights.pop("lm_head.weight", None)  # tied: loader must fall back
+    eng = Llama(weights, args)
+    ids = rng.integers(3, args.vocab_size, size=(1, 4)).astype(np.int32)
+    toks = np.asarray(eng.generate_tokens(ids, 4))
+    assert toks.shape == (1, 4)
+    # Tied head: lm_head is the embedding transposed.
+    np.testing.assert_array_equal(
+        np.asarray(eng.params["lm_head"]).T,
+        weights["model.embed_tokens.weight"].astype(np.float32))

@@ -199,3 +199,38 @@ def test_int8_tensor_parallel_matches_single_chip(rng):
     want = np.asarray(solo.generate_tokens(ids, 8)).tolist()
     got = np.asarray(tp.generate_tokens(ids, 8)).tolist()
     assert got == want
+
+
+def test_quantized_checkpoint_roundtrip(rng, tmp_path):
+    """save_quantized_npz / Llama.from_quantized: an int8 checkpoint boots
+    without re-quantization and reproduces the original engine's stream,
+    single-chip and tensor-parallel; the file is ~4x smaller than fp32."""
+    import os
+    from llama3np_tpu.checkpoint import (build_param_tree,
+                                         permute_rope_layout,
+                                         quantize_param_tree,
+                                         save_quantized_npz, save_npz)
+    from llama3np_tpu.parallel import make_mesh
+    from llama3np_tpu import save_npz as save_fp
+
+    args = preset("test-tiny", attn_impl="xla", quant="int8",
+                  fuse_matmuls=False, max_batch_size=2)
+    weights = grid_weights(args, seed=5)
+    ids = rng.integers(3, args.vocab_size, size=(2, 5)).astype(np.int32)
+    orig = Llama(weights, args)
+    want = np.asarray(orig.generate_tokens(ids, 8)).tolist()
+
+    tree = quantize_param_tree(
+        permute_rope_layout(build_param_tree(weights, args), args))
+    qpath = str(tmp_path / "q8.npz")
+    save_quantized_npz(tree, qpath)
+    fpath = str(tmp_path / "fp32.npz")
+    save_fp(weights, fpath)
+    assert os.path.getsize(qpath) < 0.4 * os.path.getsize(fpath)
+
+    booted = Llama.from_quantized(qpath, args)
+    assert booted.params["layers"]["wq"].dtype == jnp.int8
+    assert np.asarray(booted.generate_tokens(ids, 8)).tolist() == want
+
+    tp = Llama.from_quantized(qpath, args, mesh=make_mesh(2, 2))
+    assert np.asarray(tp.generate_tokens(ids, 8)).tolist() == want
