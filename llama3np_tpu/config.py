@@ -80,7 +80,10 @@ class ModelArgs:
     pallas_stream: Optional[tuple] = None
     # Weight-only quantization: None (args.dtype weights) or "int8"
     # (per-output-channel symmetric int8 matmul weights + f32 scales;
-    # activations stay args.dtype).  Single-chip fused path only.
+    # activations stay args.dtype).  Supported deployment shapes: single-chip
+    # fused/streamed Pallas, unfused split layout, tensor parallelism (scales
+    # shard with their weights), pipeline parallelism, and int8 checkpoints
+    # (save_quantized_npz / Llama.from_quantized).
     quant: Optional[str] = None
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)

@@ -399,7 +399,8 @@ class Llama:
             self.cfg = StaticConfig.from_args(args, prec, fused=False,
                                               unroll=unroll,
                                               rope_split=rope_split
-                                              )._replace(flash_prefill=False)
+                                              )._replace(flash_prefill=False,
+                                                         paged_kernel=0)
             self.params = shard_params(params, mesh, args)
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
@@ -474,7 +475,7 @@ class Llama:
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import shard_params, shard_cache
-            self.cfg = self.cfg._replace(flash_prefill=False)
+            self.cfg = self.cfg._replace(flash_prefill=False, paged_kernel=0)
             self.params = shard_params(params, mesh, args)
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
@@ -503,7 +504,8 @@ class Llama:
         # fusion (both are single-chip decode optimizations).
         self.cfg = StaticConfig.from_args(args, prec, fused=False,
                                           unroll=unroll, rope_split=False
-                                          )._replace(flash_prefill=False)
+                                          )._replace(flash_prefill=False,
+                                                     paged_kernel=0)
         self.mesh = mesh
         self.params = load_param_tree_sharded(model_path, args, mesh)
         self._shard_cache = lambda c: shard_cache(c, mesh)

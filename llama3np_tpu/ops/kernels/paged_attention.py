@@ -69,7 +69,13 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
             *, page: int, kvh: int, scale: float, chunk: int):
     b = pl.program_id(0)
     pos = pos_ref[b]
-    n = (pos + 1 + page - 1) // page        # pages that hold real tokens
+    # Pages that hold real tokens — clamped to the block-table width: a row
+    # that retires mid-quantum keeps advancing `pos` inside the jitted scan
+    # (models/llama.py ragged_decode_steps), so pos can reach max_seq_len;
+    # unclamped, bt_ref[b, j] for j >= maxp reads out of bounds of the SMEM
+    # table and DMAs a garbage page index.  Overrun rows' outputs are
+    # discarded by the caller; in-range rows are unaffected by the clamp.
+    n = jnp.minimum((pos + page) // page, bt_ref.shape[1])
     nc = (n + chunk - 1) // chunk           # chunks (>= 1)
 
     def page_dma(buf, pool_ref, sem, slot, c, j):

@@ -247,3 +247,32 @@ def test_paged_attention_kernel_matches_gather(rng, nh, kvh, hd, page, dt):
     want = oracle(q, kp.astype(jnp.float32), vp.astype(jnp.float32),
                   jnp.asarray(bt), jnp.asarray(pos))
     assert_allclose(np.asarray(got), np.asarray(want), rtol=RTOL, atol=ATOL)
+
+
+def test_paged_attention_kernel_clamps_overrun_pos(rng):
+    """A row whose pos overran the table (retired mid-quantum, pos >=
+    max_seq_len) must not index the block table out of bounds; its output is
+    discarded by the caller but the kernel must still be in-bounds, and
+    in-range rows must be unaffected (ADVICE r2 high)."""
+    from llama3np_tpu.ops.core import paged_attention as oracle
+    from llama3np_tpu.ops.kernels.paged_attention import (
+        paged_attention as kernel)
+
+    nh, kvh, hd, page = 4, 2, 32, 8
+    B, P, maxp = 2, 9, 4
+    q = jnp.asarray(rng.standard_normal((B, 1, nh, hd)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((P, kvh, page, hd)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((P, kvh, page, hd)), jnp.float32)
+    bt = np.arange(1, 1 + B * maxp, dtype=np.int32).reshape(B, maxp)
+    # Row 0 overran: pos = maxp*page + 5 would need page index maxp+0.x —
+    # past the [B, maxp] table.  Row 1 is a normal in-range row.
+    pos = np.array([maxp * page + 5, page + 2], np.int32)
+
+    got = kernel(q, kp, vp, jnp.asarray(bt), jnp.asarray(pos), interpret=True)
+    want = oracle(q, kp, vp, jnp.asarray(bt),
+                  jnp.asarray(np.minimum(pos, maxp * page - 1)))
+    # In-range row identical to the oracle; overrun row finite (attends the
+    # clamped page set, never garbage page ids).
+    assert_allclose(np.asarray(got)[1], np.asarray(want)[1],
+                    rtol=RTOL, atol=ATOL)
+    assert np.isfinite(np.asarray(got)[0]).all()

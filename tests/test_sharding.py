@@ -128,3 +128,23 @@ def test_multihost_mesh_branches(monkeypatch):
     mesh = sh.make_multihost_mesh(dp=4, tp=2)
     assert calls == {"ici": (2, 2), "dcn": (2, 1)}
     assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+
+
+def test_sharded_engines_keep_xla_paths(shard_args, shard_weights, tmp_path):
+    """Mesh-sharded engines must not route into single-chip Pallas programs:
+    both flash_prefill and the paged decode kernel stay off (ADVICE r2)."""
+    from llama3np_tpu.checkpoint import (build_param_tree,
+                                         permute_rope_layout,
+                                         quantize_param_tree,
+                                         save_quantized_npz)
+
+    mesh = make_mesh(2, 4)
+    qpath = str(tmp_path / "q8.npz")
+    save_quantized_npz(quantize_param_tree(
+        permute_rope_layout(build_param_tree(shard_weights, shard_args),
+                            shard_args)), qpath)
+    qargs = shard_args.replace(quant="int8", fuse_matmuls=False)
+    for engine in (Llama(shard_weights, shard_args, mesh=mesh),
+                   Llama.from_quantized(qpath, qargs, mesh=mesh)):
+        assert engine.cfg.flash_prefill is False
+        assert engine.cfg.paged_kernel == 0
