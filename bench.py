@@ -96,8 +96,10 @@ def main():
 
     # --- warmup (compile prefill + decode buckets) -------------------------
     gen = engine._gen
+    prompt_ids = np.zeros((1, 16), np.int32)  # real prompt, bucket-padded
+    prompt_ids[0, : len(PROMPT)] = PROMPT
     cache = engine.init_cache(1)
-    tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
+    tok0, cache = gen._prefill(engine.params, prompt_ids,
                                np.int32(len(PROMPT)), cache, engine.cos, engine.sin)
     decode = gen.decode_fn(gen_tokens, 1)
     toks, cache2 = decode(engine.params, tok0, np.int32(len(PROMPT)), cache,
@@ -110,7 +112,7 @@ def main():
         cache = engine.init_cache(1)
         np.asarray(cache["k"][0, 0, 0, :1])
         t0 = time.perf_counter()
-        tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
+        tok0, cache = gen._prefill(engine.params, prompt_ids,
                                    np.int32(len(PROMPT)), cache,
                                    engine.cos, engine.sin)
         np.asarray(tok0)  # host transfer: reliable sync on this platform
@@ -121,7 +123,7 @@ def main():
     rates = []
     for _ in range(5):
         cache = engine.init_cache(1)
-        tok0, cache = gen._prefill(engine.params, np.zeros((1, 16), np.int32),
+        tok0, cache = gen._prefill(engine.params, prompt_ids,
                                    np.int32(len(PROMPT)), cache,
                                    engine.cos, engine.sin)
         np.asarray(tok0)
