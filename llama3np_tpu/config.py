@@ -85,6 +85,12 @@ class ModelArgs:
     # shard with their weights), pipeline parallelism, and int8 checkpoints
     # (save_quantized_npz / Llama.from_quantized).
     quant: Optional[str] = None
+    # KV-cache quantization for the SERVING engine (BatchEngine): None
+    # (kv_dtype pools) or "int8" — per-(token, kv-head) symmetric scales in a
+    # parallel pool; halves cache HBM vs bf16, the capacity prerequisite for
+    # the full-8B 8K-context serving config (BASELINE configs[3]).  The
+    # single-stream dense generate path ignores it.
+    kv_quant: Optional[str] = None
     # Prompt-length padding buckets for the jitted prefill (static shapes).
     prefill_buckets: tuple = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 

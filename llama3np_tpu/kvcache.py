@@ -28,22 +28,38 @@ from .config import ModelArgs
 
 
 def init_cache(args: ModelArgs, batch_size: Optional[int] = None,
-               max_seq_len: Optional[int] = None, dtype=None) -> Dict:
-    """Allocate a zeroed dense KV cache for `args`."""
+               max_seq_len: Optional[int] = None, dtype=None,
+               quant: Optional[str] = None) -> Dict:
+    """Allocate a zeroed dense KV cache for `args`.
+
+    quant="int8" (the serving engine's kv_quant knob) stores int8 rows plus
+    per-(token, kv-head) f32 scales in parallel "k_s"/"v_s" arrays
+    [NL, B, KVH, M] — ~2x less cache HBM than bf16 (+1/HD scale overhead).
+    """
     B = batch_size or args.max_batch_size
     M = max_seq_len or args.max_seq_len
-    dt = jnp.dtype(dtype or args.kv_dtype)
     kvh, hd, nl = args.kv_heads, args.head_dim, args.n_layers
+    if quant == "int8":
+        return {
+            "k": jnp.zeros((nl, B, kvh, M, hd), jnp.int8),
+            "v": jnp.zeros((nl, B, kvh, M, hd), jnp.int8),
+            "k_s": jnp.zeros((nl, B, kvh, M), jnp.float32),
+            "v_s": jnp.zeros((nl, B, kvh, M), jnp.float32),
+        }
+    dt = jnp.dtype(dtype or args.kv_dtype)
     return {
         "k": jnp.zeros((nl, B, kvh, M, hd), dt),
         "v": jnp.zeros((nl, B, kvh, M, hd), dt),
     }
 
 
-def cache_nbytes(args: ModelArgs, batch_size: Optional[int] = None) -> int:
+def cache_nbytes(args: ModelArgs, batch_size: Optional[int] = None,
+                 quant: Optional[str] = None) -> int:
     B = batch_size or args.max_batch_size
-    itemsize = jnp.dtype(args.kv_dtype).itemsize
-    return 2 * args.n_layers * B * args.kv_heads * args.head_dim * args.max_seq_len * itemsize
+    per_row = args.head_dim * jnp.dtype(args.kv_dtype).itemsize
+    if quant == "int8":
+        per_row = args.head_dim + 4  # int8 values + one f32 scale
+    return 2 * args.n_layers * B * args.kv_heads * args.max_seq_len * per_row
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +67,7 @@ def cache_nbytes(args: ModelArgs, batch_size: Optional[int] = None) -> int:
 # ---------------------------------------------------------------------------
 
 def init_paged_cache(args: ModelArgs, num_pages: int, page_size: int = 16,
-                     dtype=None) -> Dict:
+                     dtype=None, quant: Optional[str] = None) -> Dict:
     """Paged cache pool: pages are allocated to sequences on demand, so HBM
     holds only the tokens that exist instead of `capacity x max_seq_len`
     dense rows.
@@ -63,9 +79,20 @@ def init_paged_cache(args: ModelArgs, num_pages: int, page_size: int = 16,
 
     Page 0 is reserved as the null page (block tables point unused entries at
     it; reads from it are always masked off by the per-row length).
+
+    quant="int8": int8 value pools plus per-(token, kv-head) f32 scale pools
+    "k_s"/"v_s" [NL, P, KVH, page_size] — the capacity lever for 8K-context
+    8B serving (bf16 KV at 8K is ~1.07 GB/sequence; int8 halves it).
     """
-    dt = jnp.dtype(dtype or args.kv_dtype)
     kvh, hd, nl = args.kv_heads, args.head_dim, args.n_layers
+    if quant == "int8":
+        return {
+            "k": jnp.zeros((nl, num_pages, kvh, page_size, hd), jnp.int8),
+            "v": jnp.zeros((nl, num_pages, kvh, page_size, hd), jnp.int8),
+            "k_s": jnp.zeros((nl, num_pages, kvh, page_size), jnp.float32),
+            "v_s": jnp.zeros((nl, num_pages, kvh, page_size), jnp.float32),
+        }
+    dt = jnp.dtype(dtype or args.kv_dtype)
     return {
         "k": jnp.zeros((nl, num_pages, kvh, page_size, hd), dt),
         "v": jnp.zeros((nl, num_pages, kvh, page_size, hd), dt),

@@ -203,8 +203,13 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     Dense mode (block_table None): cache k/v are [NL, B, KVH, M, HD].
     Paged mode: cache k/v are page pools [NL, P, KVH, page_size, HD] and
     block_table [B, max_pages] maps each row's pages (kvcache.init_paged_cache).
+    int8 caches (kv_quant="int8") additionally carry per-(token, kv-head)
+    scale arrays "k_s"/"v_s"; new K/V rows quantize at write
+    (ops.quantize_kv_rows) and attention dequantizes via the commuting
+    post-scales — dense or paged, XLA or Pallas kernel.
     """
     B = tokens.shape[0]
+    quant = "k_s" in cache
     if block_table is not None:
         page = cache["k"].shape[3]
         page_ids = jnp.take_along_axis(
@@ -231,7 +236,10 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
         return jnp.stack([r1, r2], axis=-1).reshape(x.shape).astype(x.dtype)
 
     def step(h, xs):
-        lp, ck, cv = xs
+        if quant:
+            lp, ck, cv, ks, vs = xs
+        else:
+            (lp, ck, cv), ks, vs = xs, None, None
         x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
         if cfg.fused:
             q, k, v = ops.fused_qkv(x, lp["wqkv"], cfg.n_heads, cfg.kv_heads,
@@ -241,23 +249,39 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             q, k, v = _split_qkv(x, lp, cfg, B, 1)
         q = rope_rows(q)
         k = rope_rows(k)
+        if quant:
+            k, k_s = ops.quantize_kv_rows(k)  # [B, 1, KVH, HD] -> + [B,1,KVH]
+            v, v_s = ops.quantize_kv_rows(v)
         if block_table is not None:
             ck, cv = ops.paged_update_kv_cache(ck, cv, k, v, page_ids, offsets)
+            if quant:
+                ks = ops.paged_update_scales(ks, k_s[:, 0], page_ids, offsets)
+                vs = ops.paged_update_scales(vs, v_s[:, 0], page_ids, offsets)
             from ..ops.kernels import paged_attention as pk
             # Compiled kernel needs 128-aligned head_dim for its manual page
             # DMAs (pk.supports); interpret mode (tests) takes any shape.
             if cfg.paged_kernel == 2 or (
                     cfg.paged_kernel == 1
                     and pk.supports(cfg.head_dim, ck.shape[2], ck.dtype)):
+                kr = vr = None
+                if quant:
+                    kr = ops.gather_page_scales(ks, block_table)
+                    vr = ops.gather_page_scales(vs, block_table)
                 attn = pk.paged_attention(q, ck, cv, block_table, pos,
+                                          k_scale_rows=kr, v_scale_rows=vr,
                                           interpret=cfg.paged_kernel == 2)
             else:
                 attn = ops.paged_attention(q, ck, cv, block_table, pos,
-                                           precision=cfg.precision)
+                                           precision=cfg.precision,
+                                           k_scale=ks, v_scale=vs)
         else:
             ck, cv = ops.ragged_update_kv_cache(ck, cv, k, v, pos)
+            if quant:
+                ks = ops.ragged_update_scales(ks, k_s[:, 0], pos)
+                vs = ops.ragged_update_scales(vs, v_s[:, 0], pos)
             attn = ops.ragged_cache_attention(q, ck, cv, pos,
-                                              precision=cfg.precision)
+                                              precision=cfg.precision,
+                                              k_scale=ks, v_scale=vs)
         h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
                                  scale=lp.get("wo_scale")).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
@@ -272,14 +296,20 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                s_gate=lp.get("w_gate_scale"),
                                s_up=lp.get("w_up_scale"),
                                s_down=lp.get("w_down_scale"))
+        if quant:
+            return h, (ck, cv, ks, vs)
         return h, (ck, cv)
 
-    h, (ck_new, cv_new) = jax.lax.scan(
-        step, h, (params["layers"], cache["k"], cache["v"]),
-        unroll=cfg.unroll,
-    )
+    xs = (params["layers"], cache["k"], cache["v"])
+    if quant:
+        xs += (cache["k_s"], cache["v_s"])
+    h, ys = jax.lax.scan(step, h, xs, unroll=cfg.unroll)
+    if quant:
+        cache_new = dict(zip(("k", "v", "k_s", "v_s"), ys))
+    else:
+        cache_new = dict(zip(("k", "v"), ys))
     h = ops.rms_norm(h[:, -1, :], params["norm"], cfg.norm_eps)
-    return lm_logits(params, h, cfg.precision), {"k": ck_new, "v": cv_new}
+    return lm_logits(params, h, cfg.precision), cache_new
 
 
 def fold_row_keys(base_key, rids, ctrs):

@@ -347,6 +347,27 @@ def update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# int8 KV quantization (serving kv_quant="int8")
+# ---------------------------------------------------------------------------
+
+def quantize_kv_rows(x: jax.Array):
+    """Per-row symmetric int8 quantization over the last (head_dim) axis.
+
+    x: [..., HD] -> (int8 [..., HD], f32 scales [...]).  The scale commutes
+    with both attention contractions: scores against a quantized K row are
+    (q . k8) * s (a per-column post-scale), and the V contraction folds s
+    into the softmax probs (sum_m p_m * (v8_m * s_m) == sum_m (p_m s_m) v8_m)
+    — the dequantized row is never materialized, mirroring the weight-int8
+    rule (checkpoint.quantize_param_tree).
+    """
+    xf = x.astype(jnp.float32)
+    m = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.where(m > 0, m / 127.0, 1.0)
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # Ragged (per-row position) decode — the serving path
 # ---------------------------------------------------------------------------
 
@@ -371,6 +392,16 @@ def ragged_update_kv_cache(k_cache: jax.Array, v_cache: jax.Array,
     return k_cache, v_cache
 
 
+def ragged_update_scales(scales: jax.Array, s: jax.Array, pos: jax.Array):
+    """Scatter per-row scale values: scales [B, KVH, M] <- s [B, KVH] at
+    (b, :, pos[b]) — the companion write to `ragged_update_kv_cache` for
+    int8 caches."""
+    def write(row, val, p):  # row [KVH, M], val [KVH]
+        return jax.lax.dynamic_update_slice(row, val[:, None],
+                                            (jnp.int32(0), p))
+    return jax.vmap(write)(scales, s, pos)
+
+
 def paged_update_kv_cache(k_pages: jax.Array, v_pages: jax.Array,
                           k: jax.Array, v: jax.Array,
                           page_ids: jax.Array, offsets: jax.Array):
@@ -387,13 +418,23 @@ def paged_update_kv_cache(k_pages: jax.Array, v_pages: jax.Array,
     return k_pages, v_pages
 
 
+def paged_update_scales(pool: jax.Array, s: jax.Array,
+                        page_ids: jax.Array, offsets: jax.Array):
+    """Scatter one token's scales per row into the scale pool: pool
+    [P, KVH, page] <- s [B, KVH] at (page_ids[b], :, offsets[b]) — the
+    companion write to `paged_update_kv_cache` for int8 pools."""
+    return pool.at[page_ids, :, offsets].set(s)
+
+
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     block_table: jax.Array, pos: jax.Array,
-                    precision=None) -> jax.Array:
+                    precision=None, k_scale=None, v_scale=None) -> jax.Array:
     """Decode attention over a paged cache (XLA gather realization).
 
     q: [B, 1, NH, HD]; pools [P, KVH, page_size, HD]; block_table
     [B, max_pages] page ids (unused entries -> null page 0); pos [B].
+    int8 pools pass their scale pools k_scale/v_scale [P, KVH, page_size]
+    (kvcache.init_paged_cache quant="int8").
 
     Gathers each row's pages into a contiguous view and applies the ragged
     mask — the always-correct fallback and the numerics oracle for the
@@ -407,16 +448,38 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     vg = v_pages[block_table]
     k_t = kg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
     v_t = vg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
-    return ragged_cache_attention(q, k_t, v_t, pos, precision=precision)
+    ks = vs = None
+    if k_scale is not None:
+        ks = gather_page_scales(k_scale, block_table)
+        vs = gather_page_scales(v_scale, block_table)
+    return ragged_cache_attention(q, k_t, v_t, pos, precision=precision,
+                                  k_scale=ks, v_scale=vs)
+
+
+def gather_page_scales(scale_pool: jax.Array, block_table: jax.Array):
+    """[P, KVH, page] scale pool -> per-row dense scales [B, KVH, maxp*page]
+    following the block table.  Tiny traffic (1/HD of the value pools); also
+    the form the Pallas paged kernel takes its scales in (its value DMAs
+    stream pages, but per-token scales ride a regular VMEM block)."""
+    B, maxp = block_table.shape
+    kvh, page = scale_pool.shape[1], scale_pool.shape[2]
+    g = scale_pool[block_table]  # [B, maxp, KVH, page]
+    return g.transpose(0, 2, 1, 3).reshape(B, kvh, maxp * page)
 
 
 def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
                            v_cache: jax.Array, pos: jax.Array,
-                           precision=None) -> jax.Array:
+                           precision=None, k_scale=None,
+                           v_scale=None) -> jax.Array:
     """Single-token attention with per-row visible lengths.
 
     q: [B, 1, NH, HD]; caches [B, KVH, M, HD]; pos: [B] — row b attends
     kv_idx <= pos[b].  Returns [B, 1, NH, HD].
+
+    int8 caches (kv_quant) pass k_scale/v_scale [B, KVH, M]: K scales apply
+    as a per-column post-scale on the scores, V scales fold into the probs
+    before the value contraction (see quantize_kv_rows) — f32 accumulation
+    either way, no dequantized cache is ever materialized.
     """
     B, L, NH, HD = q.shape
     assert L == 1, "ragged attention is a decode (single-token) op"
@@ -424,12 +487,21 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
     G = NH // KVH
     M = k_cache.shape[2]
     qg = q.reshape(B, KVH, G, HD)
-    scores = jnp.einsum("bkgd,bkmd->bkgm", qg, k_cache, precision=precision,
+    kc = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
+    scores = jnp.einsum("bkgd,bkmd->bkgm", qg, kc, precision=precision,
                         preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, :]
     scores = scores / math.sqrt(HD)
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, M), 3)
     scores = jnp.where(kv_idx <= pos[:, None, None, None], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("bkgm,bkmd->bkgd", probs, v_cache, precision=precision,
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = (probs * v_scale[:, :, None, :]).astype(q.dtype)
+        vc = v_cache.astype(q.dtype)
+    else:
+        probs = probs.astype(v_cache.dtype)
+        vc = v_cache
+    out = jnp.einsum("bkgm,bkmd->bkgd", probs, vc, precision=precision,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, 1, NH, HD).astype(q.dtype)

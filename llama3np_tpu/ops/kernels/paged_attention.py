@@ -55,18 +55,29 @@ def supports(head_dim: int, page_size: int, kv_dtype) -> bool:
     """Shapes the compiled kernel can DMA: Mosaic requires a manual HBM->VMEM
     copy's last dimension to be 128-aligned (measured on v5e: HD=48 is
     rejected with "Slice shape along dimension 3 must be aligned to tiling"),
-    and the page must fill the dtype's sublane tile.  8B-class models
-    (HD=128) qualify; stories15M-class (HD=48) falls back to the XLA gather,
-    which is fine at that scale."""
-    min_sublane = 16 if jnp.dtype(kv_dtype).itemsize == 2 else 8
+    and the page must fill the dtype's sublane tile (8 rows at 4-byte, 16 at
+    2-byte, 32 at 1-byte — int8 pools need page_size >= 32).  8B-class
+    models (HD=128) qualify; stories15M-class (HD=48) falls back to the XLA
+    gather, which is fine at that scale."""
+    min_sublane = {1: 32, 2: 16}.get(jnp.dtype(kv_dtype).itemsize, 8)
     return head_dim % 128 == 0 and page_size % min_sublane == 0
 
 
 def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
             q_ref, kp_ref, vp_ref,      # q block (VMEM), pools (HBM)
-            o_ref,                      # [KVH, G, HD] out block
-            kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v,
-            *, page: int, kvh: int, scale: float, chunk: int):
+            *rest,                      # [ks_ref, vs_ref,] o_ref, scratch...
+            page: int, kvh: int, scale: float, chunk: int,
+            quant: bool = False):
+    if quant:
+        # int8 pools: per-(token, head) scale rows [KVH, maxp*page] ride a
+        # regular VMEM block (gathered outside by ops.gather_page_scales —
+        # 1/HD of the value traffic); the value pages still stream by DMA.
+        ks_ref, vs_ref, o_ref = rest[:3]
+        kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v = rest[3:]
+    else:
+        ks_ref = vs_ref = None
+        o_ref = rest[0]
+        kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v = rest[1:]
     b = pl.program_id(0)
     pos = pos_ref[b]
     # Pages that hold real tokens — clamped to the block-table width: a row
@@ -135,6 +146,11 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
                 q[h], ks, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale                                       # [G, cols]
+            if quant:
+                # Commuting int8 dequantization: K scales post-multiply the
+                # score columns; V scales fold into the probs below.
+                ksc = ks_ref[pl.ds(h, 1), pl.ds(ci * cols, cols)]
+                s = s * ksc
             s = jnp.where(visible, s, -jnp.inf)
             m = m_s[h]                                      # [G, 1]
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -143,8 +159,12 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
             p = jnp.where(visible, jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m - m_new)
             l_s[h] = l_s[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = p
+            if quant:
+                vsc = vs_ref[pl.ds(h, 1), pl.ds(ci * cols, cols)]
+                pv = p * vsc
             acc_s[h] = acc_s[h] * alpha + jnp.dot(
-                p, vs, preferred_element_type=jnp.float32)
+                pv, vs, preferred_element_type=jnp.float32)
             m_s[h] = m_new
         return 0
 
@@ -154,6 +174,7 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
 
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     block_table: jax.Array, pos: jax.Array,
+                    k_scale_rows=None, v_scale_rows=None,
                     interpret: bool = False) -> jax.Array:
     """Decode attention over the paged cache by streaming block-table pages.
 
@@ -161,6 +182,11 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     (unused entries -> null page 0); pos [B] int32 — row b attends
     kv_idx <= pos[b].  Returns [B, 1, NH, HD] (same contract as the XLA
     `ops.core.paged_attention`).
+
+    int8 pools pass k_scale_rows/v_scale_rows [B, KVH, maxp*page] — the
+    per-row dense scale gather (ops.core.gather_page_scales); scale traffic
+    is 1/HD of the values so it rides an ordinary VMEM block while the
+    values keep their streaming DMAs.
     """
     B, L, NH, HD = q.shape
     assert L == 1, "paged attention is a decode (single-token) op"
@@ -169,6 +195,18 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     G = NH // KVH
     chunk = min(CHUNK, maxp)
     qg = q.reshape(B, KVH, G, HD)
+    quant = k_scale_rows is not None
+
+    scale_specs = []
+    scale_args = ()
+    if quant:
+        scale_specs = [
+            pl.BlockSpec((None, KVH, maxp * page),
+                         lambda b, bt, pp: (b, 0, 0)),
+            pl.BlockSpec((None, KVH, maxp * page),
+                         lambda b, bt, pp: (b, 0, 0)),
+        ]
+        scale_args = (k_scale_rows, v_scale_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -180,6 +218,7 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
             # (lane-padding HD, then rejecting the [page, HD] memref slice).
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            *scale_specs,
         ],
         out_specs=pl.BlockSpec((None, KVH, G, HD),
                                lambda b, bt, pp: (b, 0, 0, 0)),
@@ -196,7 +235,7 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     out = pl.pallas_call(
         partial(_kernel, page=page, kvh=KVH, scale=1.0 / math.sqrt(HD),
-                chunk=chunk),
+                chunk=chunk, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -204,5 +243,5 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
         ),
         interpret=interpret,
     )(block_table.astype(jnp.int32), pos.astype(jnp.int32),
-      qg, k_pages, v_pages)
+      qg, k_pages, v_pages, *scale_args)
     return out.reshape(B, 1, NH, HD)

@@ -34,46 +34,99 @@ from .models.llama import (fold_row_keys, forward_hidden,
 
 
 def admission_prefill_dense(params, padded, true_len, slot, cache, cos, sin,
-                            cfg):
+                            cfg, row_dtype=None):
     """Prefill one request on a fresh single-row cache and scatter its K/V
     into `slot` of the dense serving cache — one jitted program with the big
     cache donated, so admission updates the pool in place instead of copying
     O(capacity x M) HBM per admission (VERDICT r1 weak #3).
 
+    int8 serving caches ("k_s" present): the prefill row cache stays in the
+    activation dtype (`row_dtype`) so prefill attention is full precision;
+    rows quantize once at the scatter (ops.quantize_kv_rows).
+
     Returns (last-position logits [1, VS], updated cache)."""
     nl, _, kvh, M, hd = cache["k"].shape
-    row = {"k": jnp.zeros((nl, 1, kvh, M, hd), cache["k"].dtype),
-           "v": jnp.zeros((nl, 1, kvh, M, hd), cache["v"].dtype)}
+    quant = "k_s" in cache
+    dt = jnp.dtype(row_dtype) if quant else cache["k"].dtype
+    row = {"k": jnp.zeros((nl, 1, kvh, M, hd), dt),
+           "v": jnp.zeros((nl, 1, kvh, M, hd), dt)}
     h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
                             first_chunk=True)
     logits = _last_logits(params, h, true_len, cfg)
-    cache = {"k": cache["k"].at[:, slot].set(row["k"][:, 0]),
-             "v": cache["v"].at[:, slot].set(row["v"][:, 0])}
+    if quant:
+        from .ops.core import quantize_kv_rows
+        k8, ksr = quantize_kv_rows(row["k"])  # scales [NL, 1, KVH, M]
+        v8, vsr = quantize_kv_rows(row["v"])
+        cache = {"k": cache["k"].at[:, slot].set(k8[:, 0]),
+                 "v": cache["v"].at[:, slot].set(v8[:, 0]),
+                 "k_s": cache["k_s"].at[:, slot].set(ksr[:, 0]),
+                 "v_s": cache["v_s"].at[:, slot].set(vsr[:, 0])}
+    else:
+        cache = {"k": cache["k"].at[:, slot].set(row["k"][:, 0]),
+                 "v": cache["v"].at[:, slot].set(row["v"][:, 0])}
     return logits[:, -1, :], cache
 
 
-def admission_prefill_paged(params, padded, true_len, page_idx, cache,
-                            cos, sin, cfg):
-    """Paged-mode admission: prefill one request and scatter its K/V rows
-    into the page pool at `page_idx` ([max_pages] int32, entries beyond the
-    allocated count padded with 0 — the reserved null page, never attended).
-    One jitted program, pool donated."""
+def scatter_row_paged(row, page_idx, cache):
+    """Scatter a request's [NL, 1, KVH, M, HD] row cache into the page pool
+    at `page_idx` ([max_pages] int32, unused entries -> null page 0).  int8
+    pools ("k_s" present) quantize here — the single write point."""
     nl, _, kvh, page, hd = cache["k"].shape
     n_pages = page_idx.shape[0]
-    M = n_pages * page  # == max_seq_len by construction
-    row = {"k": jnp.zeros((nl, 1, kvh, M, hd), cache["k"].dtype),
-           "v": jnp.zeros((nl, 1, kvh, M, hd), cache["v"].dtype)}
-    h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
-                            first_chunk=True)
-    logits = _last_logits(params, h, true_len, cfg)
 
     def rows(c):  # [NL, 1, KVH, M, HD] -> [NL, n_pages, KVH, page, HD]
         r = c[:, 0].reshape(nl, kvh, n_pages, page, hd)
         return r.transpose(0, 2, 1, 3, 4)
 
-    cache = {"k": cache["k"].at[:, page_idx].set(rows(row["k"])),
-             "v": cache["v"].at[:, page_idx].set(rows(row["v"]))}
-    return logits[:, -1, :], cache
+    def scale_rows(s):  # [NL, 1, KVH, M] -> [NL, n_pages, KVH, page]
+        return s[:, 0].reshape(nl, kvh, n_pages, page).transpose(0, 2, 1, 3)
+
+    if "k_s" in cache:
+        from .ops.core import quantize_kv_rows
+        k8, ksr = quantize_kv_rows(row["k"])
+        v8, vsr = quantize_kv_rows(row["v"])
+        return {"k": cache["k"].at[:, page_idx].set(rows(k8)),
+                "v": cache["v"].at[:, page_idx].set(rows(v8)),
+                "k_s": cache["k_s"].at[:, page_idx].set(scale_rows(ksr)),
+                "v_s": cache["v_s"].at[:, page_idx].set(scale_rows(vsr))}
+    return {"k": cache["k"].at[:, page_idx].set(rows(row["k"])),
+            "v": cache["v"].at[:, page_idx].set(rows(row["v"]))}
+
+
+def admission_prefill_paged(params, padded, true_len, page_idx, cache,
+                            cos, sin, cfg, row_dtype=None):
+    """Paged-mode admission: prefill one request and scatter its K/V rows
+    into the page pool at `page_idx`.  One jitted program, pool donated.
+    int8 pools quantize at the scatter (see admission_prefill_dense)."""
+    nl, _, kvh, page, hd = cache["k"].shape
+    quant = "k_s" in cache
+    M = page_idx.shape[0] * page  # == max_seq_len by construction
+    dt = jnp.dtype(row_dtype) if quant else cache["k"].dtype
+    row = {"k": jnp.zeros((nl, 1, kvh, M, hd), dt),
+           "v": jnp.zeros((nl, 1, kvh, M, hd), dt)}
+    h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
+                            first_chunk=True)
+    logits = _last_logits(params, h, true_len, cfg)
+    return logits[:, -1, :], scatter_row_paged(row, page_idx, cache)
+
+
+def prefill_row_chunk(params, chunk_ids, start, chunk_len, row, cos, sin,
+                      cfg, first_chunk):
+    """One chunk of a chunked admission prefill against the request's
+    temporary row cache (chunked-admission path, VERDICT r2 weak #4: a long
+    admission must not stall co-tenants for a whole-prompt prefill).
+
+    chunk_ids: [1, A] (tail chunks padded); start: absolute position of the
+    chunk's first token; chunk_len: real tokens in this chunk.  Returns
+    (last-real-position logits [1, VS], updated row) — only the final
+    chunk's logits are consumed.  Non-first chunks attend the row-cache
+    prefix through the model's chunked-prefill path
+    (models/llama.py cache/blockwise attention at start > 0).
+    """
+    h, row = forward_hidden(params, chunk_ids, start, row, cos, sin, cfg,
+                            first_chunk=first_chunk)
+    logits = _last_logits(params, h, chunk_len, cfg)
+    return logits[:, -1, :], row
 
 
 @dataclasses.dataclass
@@ -86,6 +139,7 @@ class Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     slot: Optional[int] = None
+    admitting: bool = False  # mid chunked-admission: slot reserved, no decode
 
     @property
     def text_ids(self) -> List[int]:
@@ -104,12 +158,31 @@ class BatchEngine:
 
     def __init__(self, engine, capacity: int = 8, paged: bool = False,
                  page_size: int = 16, num_pages: Optional[int] = None,
-                 top_k: int = 0, top_p: float = 1.0, sampling_seed: int = 0):
+                 top_k: int = 0, top_p: float = 1.0, sampling_seed: int = 0,
+                 kv_quant: Optional[str] = None,
+                 admit_chunk: Optional[int] = None):
         self.engine = engine
         self.args = engine.args
         self.cfg = engine.cfg
         self.capacity = capacity
         self.paged = paged
+        kv_quant = kv_quant or self.args.kv_quant
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant {kv_quant!r}")
+        self.kv_quant = kv_quant
+        if admit_chunk is not None:
+            # Chunked admission needs the null-page parking property: while a
+            # slot is mid-admission, interleaved decode steps write its
+            # (garbage) K/V through an all-zero block table into the reserved
+            # null page, never into live cache.  The dense layout has no such
+            # sink, so long-prompt admissions stay paged-only.
+            if not paged:
+                raise ValueError("admit_chunk requires paged=True")
+            if self.args.max_seq_len % admit_chunk:
+                raise ValueError("admit_chunk must divide max_seq_len "
+                                 "(chunk starts stay in-bounds)")
+        self.admit_chunk = admit_chunk
+        self._in_admission = False
         from .kvcache import init_cache, init_paged_cache, PageAllocator
         if paged:
             if self.args.max_seq_len % page_size:
@@ -119,13 +192,14 @@ class BatchEngine:
             if num_pages is None:
                 num_pages = 1 + capacity * self.max_pages
             self.allocator = PageAllocator(num_pages)
-            self.cache = init_paged_cache(self.args, num_pages, page_size)
+            self.cache = init_paged_cache(self.args, num_pages, page_size,
+                                          quant=kv_quant)
             self.block_tables = np.zeros((capacity, self.max_pages), np.int32)
             self._pages: List[List[int]] = [[] for _ in range(capacity)]
             # Reserved-but-unallocated worst-case tail pages per slot.
             self._future_pages = np.zeros(capacity, np.int64)
         else:
-            self.cache = init_cache(self.args, capacity)
+            self.cache = init_cache(self.args, capacity, quant=kv_quant)
         self.pos = np.zeros(capacity, np.int32)       # next write position
         self.tokens = np.zeros(capacity, np.int32)    # last token per slot
         # Per-slot sampling temperature (0 = greedy); top_k/top_p are
@@ -142,12 +216,17 @@ class BatchEngine:
         self.slots: List[Optional[Request]] = [None] * capacity
         self._ids = itertools.count()
         self._queue: List[Request] = []
+        row_dt = str(jnp.dtype(self.args.dtype)) if kv_quant else None
+        self._row_dt = jnp.dtype(self.args.dtype if kv_quant
+                                 else self.args.kv_dtype)
         self._admit_dense = jax.jit(
-            partial(admission_prefill_dense, cfg=self.cfg),
+            partial(admission_prefill_dense, cfg=self.cfg, row_dtype=row_dt),
             donate_argnums=(4,))
         self._admit_paged = jax.jit(
-            partial(admission_prefill_paged, cfg=self.cfg),
+            partial(admission_prefill_paged, cfg=self.cfg, row_dtype=row_dt),
             donate_argnums=(4,))
+        self._scatter_paged = jax.jit(scatter_row_paged, donate_argnums=(2,))
+        self._chunk_fns = {}  # (A, first) -> jitted prefill_row_chunk
         self._step = jax.jit(partial(forward_ragged_decode, cfg=self.cfg),
                              donate_argnums=(3,))
         self._sample = jax.jit(partial(self._sample_impl, top_k=top_k,
@@ -216,6 +295,8 @@ class BatchEngine:
         return self.allocator.available - outstanding >= max(worst, n_needed)
 
     def _admit(self):
+        if self._in_admission:
+            return  # interleaved step() during a chunked admission
         for slot in range(self.capacity):
             if not self._queue:
                 return
@@ -226,12 +307,72 @@ class BatchEngine:
             req = self._queue.pop(0)
             self._prefill_into(slot, req)
 
+    def _chunk_fn(self, A: int, first: bool):
+        key = (A, first)
+        if key not in self._chunk_fns:
+            self._chunk_fns[key] = jax.jit(
+                partial(prefill_row_chunk, cfg=self.cfg, first_chunk=first),
+                donate_argnums=(4,))
+        return self._chunk_fns[key]
+
+    def _admit_paged_chunked(self, slot: int, req: Request, padded, L: int):
+        """Chunked admission: run the prompt prefill `admit_chunk` tokens at
+        a time against a temporary row cache, interleaving a decode step for
+        the co-tenant slots between chunks — a long admission bounds every
+        active stream's stall at one chunk instead of one whole prompt.
+
+        The slot is reserved (req.admitting) with an all-zero block table:
+        interleaved decode writes for it land on the null page and its
+        logits are discarded, so live state is untouched until the single
+        final scatter."""
+        eng = self.engine
+        A = self.admit_chunk
+        page = self.page_size
+        n_needed = min(-(-(L + 1) // page), self.max_pages)
+        pages = self.allocator.alloc(n_needed)
+        self._pages[slot] = pages
+        self._future_pages[slot] = self._worst_case_pages(req) - n_needed
+        self.block_tables[slot] = 0  # parked
+        req.slot = slot
+        req.admitting = True
+        self.slots[slot] = req  # reserve: queued admissions skip this slot
+        self.temps[slot] = 0.0
+        self.pos[slot] = 0
+        nl, _, kvh, _, hd = self.cache["k"].shape
+        M = self.max_pages * page
+        row = {"k": jnp.zeros((nl, 1, kvh, M, hd), self._row_dt),
+               "v": jnp.zeros((nl, 1, kvh, M, hd), self._row_dt)}
+        self._in_admission = True
+        try:
+            logits0 = None
+            for start in range(0, L, A):
+                clen = min(A, L - start)
+                cids = np.zeros((1, A), np.int32)
+                cids[0, :clen] = padded[0, start : start + clen]
+                logits0, row = self._chunk_fn(A, start == 0)(
+                    eng.params, jnp.asarray(cids), jnp.int32(start),
+                    jnp.int32(clen), row, eng.cos, eng.sin)
+                if start + A < L and any(
+                        r is not None and not r.admitting
+                        for r in self.slots):
+                    self.step()  # co-tenants advance between chunks
+        finally:
+            self._in_admission = False
+        idx = np.zeros(self.max_pages, np.int32)
+        idx[:n_needed] = pages
+        self.cache = self._scatter_paged(row, jnp.asarray(idx), self.cache)
+        self.block_tables[slot, :n_needed] = pages
+        req.admitting = False
+        return logits0
+
     def _prefill_into(self, slot: int, req: Request):
         eng = self.engine
         from .generate import pad_prompt
         padded, L = pad_prompt(np.asarray([req.prompt_ids], np.int32),
                                self.args)
-        if self.paged:
+        if self.paged and self.admit_chunk and L > self.admit_chunk:
+            logits0 = self._admit_paged_chunked(slot, req, padded, L)
+        elif self.paged:
             # Allocate pages covering the prompt plus tok0's upcoming write;
             # the remaining worst-case tail stays reserved (future pages).
             page = self.page_size
@@ -286,8 +427,8 @@ class BatchEngine:
         quantum tokens past a request's budget are discarded, so allocating
         pages for them could exhaust a tight pool for no benefit."""
         for slot, req in enumerate(self.slots):
-            if req is None:
-                continue
+            if req is None or req.admitting:
+                continue  # parked mid-admission: null-page writes, no growth
             # `remaining` emitted tokens need writes at pos..pos+remaining-1
             # (the in-flight token writes at pos).  Discarded quantum-overrun
             # tokens write through unallocated block-table entries, which
@@ -353,8 +494,8 @@ class BatchEngine:
             toks = np.asarray(toks, np.int32)  # [B, quantum]
         finished = []
         for slot, req in enumerate(self.slots):
-            if req is None or req.done:
-                continue
+            if req is None or req.done or req.admitting:
+                continue  # mid-admission slots discard their parked tokens
             for tok in map(int, toks[slot]):
                 req.generated.append(tok)
                 self.tokens[slot] = tok
