@@ -249,3 +249,71 @@ def test_paged_pallas_kernel_matches_solo(rng):
         be.step(2)
     assert r0.generated == wants[0]
     assert r1.generated == wants[1]
+
+
+# ---------------------------------------------------------------------------
+# Chunked admission (VERDICT r2 weak #4)
+# ---------------------------------------------------------------------------
+
+def test_chunked_admission_stream_identity(setup, rng):
+    """Chunked admission must reproduce the unchunked admission's stream
+    exactly (same prefill math, chunked through the model's start>0 path)."""
+    args, weights, engine = setup
+    prompt = rng.integers(3, args.vocab_size, size=40).tolist()
+    plain = BatchEngine(engine, capacity=2, paged=True)
+    r_plain = plain.submit(prompt, 6)
+    plain.run_to_completion()
+
+    chunked = BatchEngine(engine, capacity=2, paged=True, admit_chunk=16)
+    r_chunked = chunked.submit(prompt, 6)
+    chunked.run_to_completion()
+    assert r_chunked.done
+    assert r_chunked.generated == r_plain.generated
+
+
+def test_chunked_admission_co_tenants_progress(setup, rng):
+    """A long admission must not stall co-tenants: active streams advance
+    between admission chunks, and nobody's stream changes."""
+    args, weights, engine = setup
+    short = rng.integers(3, args.vocab_size, size=4).tolist()
+    long_p = rng.integers(3, args.vocab_size, size=40).tolist()
+    want_short = solo_stream(engine, short, 12)
+
+    be = BatchEngine(engine, capacity=2, paged=True, admit_chunk=16)
+    r_short = be.submit(short, 12)
+    be.step()
+    n_before = len(r_short.generated)
+    r_long = be.submit(long_p, 4)  # 40-token prompt -> 3 chunks, 2 interleaves
+    n_after = len(r_short.generated)
+    assert n_after > n_before  # decode progressed during the admission
+    be.run_to_completion()
+    assert r_short.generated == want_short
+    # The long request's stream equals its unchunked solo stream.
+    solo = BatchEngine(engine, capacity=1, paged=True)
+    r_solo = solo.submit(long_p, 4)
+    solo.run_to_completion()
+    assert r_long.generated == r_solo.generated
+
+
+def test_chunked_admission_int8_kv(setup, rng):
+    """Chunked admission composes with the int8 KV cache: requantization at
+    the scatter is lossless (scales are reconstructed bit-identically), so
+    the stream equals the unchunked int8 stream."""
+    args, weights, engine = setup
+    prompt = rng.integers(3, args.vocab_size, size=40).tolist()
+    plain = BatchEngine(engine, capacity=1, paged=True, kv_quant="int8")
+    r_plain = plain.submit(prompt, 6)
+    plain.run_to_completion()
+    chunked = BatchEngine(engine, capacity=1, paged=True, kv_quant="int8",
+                          admit_chunk=16)
+    r_chunked = chunked.submit(prompt, 6)
+    chunked.run_to_completion()
+    assert r_chunked.generated == r_plain.generated
+
+
+def test_admit_chunk_validation(setup):
+    args, weights, engine = setup
+    with pytest.raises(ValueError, match="requires paged"):
+        BatchEngine(engine, paged=False, admit_chunk=16)
+    with pytest.raises(ValueError, match="divide max_seq_len"):
+        BatchEngine(engine, paged=True, admit_chunk=24)
