@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "rotating debug log in DIR (reference debug-build "
                         "sink, debug/debug_llama3.py:31-50); implies the "
                         "trace itself")
+    p.add_argument("--debug-tokens", type=int, default=0, metavar="N",
+                   help="with --debug-stats/--debug-log-dir: eager-replay N "
+                        "generated tokens, logging every checkpoint per "
+                        "forward (the reference debug build's whole-"
+                        "generation logging) instead of one forward")
     p.add_argument("--run-log", default=None, metavar="PATH",
                    help="append a JSONL record of this run")
     p.add_argument("--synthetic", action="store_true",
@@ -94,8 +99,12 @@ def main(argv=None) -> int:
         if args_ns.debug_log_dir:
             from .observability import make_debug_logger
             sinks.append(make_debug_logger(args_ns.debug_log_dir).debug)
-        debug_trace_forward(model, ids, 0,
-                            emit=lambda s: [sink(s) for sink in sinks])
+        emit = lambda s: [sink(s) for sink in sinks]  # noqa: E731
+        if args_ns.debug_tokens > 0:
+            from .observability import debug_trace_generate
+            debug_trace_generate(model, ids, args_ns.debug_tokens, emit=emit)
+        else:
+            debug_trace_forward(model, ids, 0, emit=emit)
         model.reset()
 
     print(f"\n{args_ns.prompt}", end="")

@@ -187,31 +187,22 @@ def _stat_line(name: str, arr) -> str:
             f"min={af.min():.6f}, max={af.max():.6f}, mean={af.mean():.6f}")
 
 
-def debug_trace_forward(engine, input_ids, start_pos: int = 0,
-                        emit: Optional[Callable[[str], None]] = None) -> np.ndarray:
-    """Eagerly replay one forward through the layer-0 checkpoints, emitting a
-    tensor-stats line per checkpoint (the one-shot trace of reference
-    debug/llama3-debug.py:136-250).  Returns the logits.
-
-    Runs the same jnp ops outside jit (op-by-op dispatch), so stats reflect
-    the real computation, not a shadow implementation.
-    """
+def _traced_forward(engine, ids, start_pos: int, layer_kv, emit):
+    """One eager (op-by-op) forward with per-checkpoint stat emission,
+    threading the per-layer KV state.  layer_kv: list of (ck, cv) per layer
+    ([B, KVH, M, HD]); updated in place.  Returns logits [B, 1, VS]."""
     import jax.numpy as jnp
     from .ops import core as ops
 
-    emit = emit or print
     cfg = engine.cfg
     params = engine.params
-    ids = jnp.asarray(np.asarray(input_ids), jnp.int32)
     B, L = ids.shape
     emit(_stat_line("input_ids", ids))
-
     h = jnp.take(params["tok_embedding"], ids, axis=0)
     emit(_stat_line("embedding", h))
     cos = engine.cos[start_pos : start_pos + L]
     sin = engine.sin[start_pos : start_pos + L]
 
-    cache = engine.init_cache(B)
     ly = params["layers"]
     for i in range(engine.args.n_layers):
         first = i == 0
@@ -234,8 +225,9 @@ def debug_trace_forward(engine, input_ids, start_pos: int = 0,
         if first:
             emit(_stat_line("rope_xq", q))
             emit(_stat_line("rope_xk", k))
-        ck, cv = ops.update_kv_cache(cache["k"][i], cache["v"][i], k, v,
+        ck, cv = ops.update_kv_cache(layer_kv[i][0], layer_kv[i][1], k, v,
                                      jnp.int32(start_pos))
+        layer_kv[i] = (ck, cv)
         if first:
             emit(_stat_line("k_cache", ck))
             emit(_stat_line("v_cache", cv))
@@ -257,4 +249,58 @@ def debug_trace_forward(engine, input_ids, start_pos: int = 0,
     h = ops.rms_norm(h, params["norm"], cfg.norm_eps)
     logits = jnp.dot(h[:, -1:, :], params["lm_head"])
     emit(_stat_line("logits", logits))
+    return logits
+
+
+def _init_layer_kv(engine, B):
+    cache = engine.init_cache(B)
+    return [(cache["k"][i], cache["v"][i])
+            for i in range(engine.args.n_layers)]
+
+
+def debug_trace_forward(engine, input_ids, start_pos: int = 0,
+                        emit: Optional[Callable[[str], None]] = None) -> np.ndarray:
+    """Eagerly replay one forward through the layer-0 checkpoints, emitting a
+    tensor-stats line per checkpoint (the one-shot trace of reference
+    debug/llama3-debug.py:136-250).  Returns the logits.
+
+    Runs the same jnp ops outside jit (op-by-op dispatch), so stats reflect
+    the real computation, not a shadow implementation.
+    """
+    import jax.numpy as jnp
+
+    emit = emit or print
+    ids = jnp.asarray(np.asarray(input_ids), jnp.int32)
+    logits = _traced_forward(engine, ids, start_pos,
+                             _init_layer_kv(engine, ids.shape[0]), emit)
     return np.asarray(logits)
+
+
+def debug_trace_generate(engine, input_ids, num_tokens: int,
+                         emit: Optional[Callable[[str], None]] = None) -> np.ndarray:
+    """Per-token eager-replay trace of a short greedy generation: the
+    reference debug build logs every op for the WHOLE generation to its
+    rotating file (reference debug/debug_llama3.py:31-50); under jit a
+    per-call log is meaningless, so this replays prefill + each decode
+    token op-by-op, emitting the full checkpoint set per forward.
+
+    Returns the greedy tokens [B, num_tokens] (identical to the jitted
+    engine's stream — same ops, eager dispatch).
+    """
+    import jax.numpy as jnp
+
+    emit = emit or print
+    ids = jnp.asarray(np.asarray(input_ids), jnp.int32)
+    B, L = ids.shape
+    layer_kv = _init_layer_kv(engine, B)
+    emit(f"=== prefill: {L} prompt tokens ===")
+    logits = _traced_forward(engine, ids, 0, layer_kv, emit)
+    tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    toks = [tok]
+    for j in range(1, num_tokens):
+        emit(f"=== decode token {j} (pos={L + j - 1}) ===")
+        logits = _traced_forward(engine, tok[:, None], L + j - 1,
+                                 layer_kv, emit)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        toks.append(tok)
+    return np.stack([np.asarray(t) for t in toks], axis=1)

@@ -127,3 +127,46 @@ def test_debug_trace_forward(tiny_args, tiny_weights, rng):
     eng2 = Llama(tiny_weights, tiny_args)
     want = eng2(ids, 0)
     np.testing.assert_allclose(logits, want, rtol=2e-4, atol=1e-4)
+
+
+def test_debug_trace_generate_matches_engine(tmp_path):
+    """The per-token eager-replay trace (reference debug-build behavior:
+    every op logged for the whole generation) emits a full checkpoint set
+    per forward AND reproduces the jitted greedy stream."""
+    import numpy as np
+    from llama3np_tpu import preset, synthetic_weights
+    from llama3np_tpu.models.llama import Llama
+    from llama3np_tpu.observability import debug_trace_generate
+
+    args = preset("test-tiny")
+    engine = Llama(synthetic_weights(args, seed=4), args)
+    ids = np.array([[1, 7, 300, 41]], np.int32)
+    n = 4
+    lines = []
+    toks = debug_trace_generate(engine, ids, n, emit=lines.append)
+    engine.reset()
+    want = np.asarray(engine.generate_tokens(ids, n))
+    assert toks.tolist() == want.tolist()
+    text = "\n".join(lines)
+    # One prefill header + n-1 decode headers; per-forward checkpoints.
+    assert text.count("=== prefill") == 1
+    assert text.count("=== decode token") == n - 1
+    assert text.count("logits:") == n
+    assert text.count("rope_xq:") == n
+
+
+@needs_real_vocab
+def test_cli_debug_tokens_flag(tmp_path):
+    from llama3np_tpu.cli import main
+
+    logdir = tmp_path / "dbg"
+    rc = main(["--synthetic", "--preset", "test-tiny",
+               "--tokenizer", REFERENCE_TOKENIZER, "--max-new-tokens", "2",
+               "--debug-log-dir", str(logdir),
+               "--debug-tokens", "3", "--no-stream", "hi"])
+    assert rc == 0
+    files = list(logdir.glob("llama3np_tpu_debug_*.log"))
+    assert files
+    content = files[0].read_text()
+    assert content.count("=== decode token") == 2
+    assert content.count("logits:") == 3
