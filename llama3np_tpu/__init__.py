@@ -31,7 +31,7 @@ __all__ = [
     "synthetic_weights", "write_synthetic_checkpoint", "save_npz",
     "init_cache", "init_paged_cache", "PageAllocator",
     "Llama", "StaticConfig", "forward", "forward_hidden",
-    "NumpyLlama", "BatchEngine",
+    "NumpyLlama", "BatchEngine", "SpeculativeGenerator", "quantized_draft",
 ]
 
 
@@ -40,4 +40,7 @@ def __getattr__(name):
     if name == "BatchEngine":
         from .serving import BatchEngine
         return BatchEngine
+    if name in ("SpeculativeGenerator", "quantized_draft"):
+        from . import speculative
+        return getattr(speculative, name)
     raise AttributeError(name)
