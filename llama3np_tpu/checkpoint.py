@@ -186,29 +186,59 @@ def save_quantized_npz(params: Dict, path: str, rope_split: bool = True):
     (`Llama.from_quantized`).  Keys are dotted tree paths plus a
     `__rope_split__` marker recording whether wq/wk columns were already
     permuted to the split-halves RoPE layout."""
+    import ml_dtypes
+
     flat = {"__rope_split__": np.asarray(int(rope_split))}
+    bf16_keys = []
+
+    def put(key, v):
+        v = np.asarray(v)
+        # np.savez writes bfloat16 as a raw void dtype np.load can't hand
+        # back to JAX; store the bits as uint16 and record the key.
+        if v.dtype == ml_dtypes.bfloat16:
+            bf16_keys.append(key)
+            v = v.view(np.uint16)
+        flat[key] = v
+
     for k, v in params.items():
         if isinstance(v, dict):
             for kk, vv in v.items():
-                flat[f"{k}.{kk}"] = np.asarray(vv)
+                put(f"{k}.{kk}", vv)
         else:
-            flat[k] = np.asarray(v)
+            put(k, v)
+    flat["__bf16__"] = np.asarray(bf16_keys)
     np.savez(path, **flat)
 
 
 def load_quantized_npz(path: str):
     """Load a `save_quantized_npz` checkpoint; returns (param_tree,
     rope_split)."""
+    import ml_dtypes
+
     npz = np.load(path)
+    bf16 = set(npz["__bf16__"].tolist()) if "__bf16__" in npz.files else set()
+
+    def get(k):
+        v = npz[k]
+        if k in bf16:
+            return v.view(ml_dtypes.bfloat16)
+        # Legacy checkpoints (no manifest) stored bfloat16 as raw 2-byte
+        # void; bfloat16 is the only 2-byte non-native dtype we ever write.
+        if v.dtype.kind == "V" and v.dtype.itemsize == 2:
+            return v.view(ml_dtypes.bfloat16)
+        return v
+
     out: Dict = {"layers": {}}
     rope_split = True
     for k in npz.files:
         if k == "__rope_split__":
             rope_split = bool(int(npz[k]))
+        elif k == "__bf16__":
+            continue
         elif k.startswith("layers."):
-            out["layers"][k[len("layers."):]] = npz[k]
+            out["layers"][k[len("layers."):]] = get(k)
         else:
-            out[k] = npz[k]
+            out[k] = get(k)
     return out, rope_split
 
 

@@ -259,3 +259,29 @@ def test_quantize_param_tree_device_matches_host(rng):
             assert (diff > 0).mean() < 1e-3
         else:
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=0)
+
+
+def test_quantized_checkpoint_roundtrip_bf16(rng, tmp_path):
+    """bf16-dtype trees (llama3-8b preset default) roundtrip through the
+    int8 checkpoint: np.savez has no native bfloat16, so norms ride as
+    uint16 bits under a __bf16__ manifest (regression: the 8B serving boot
+    failed with 'Dtype |V2 is not a valid JAX array type')."""
+    from llama3np_tpu.checkpoint import (build_param_tree,
+                                         permute_rope_layout,
+                                         quantize_param_tree,
+                                         save_quantized_npz)
+
+    args = preset("test-tiny", attn_impl="xla", quant="int8",
+                  fuse_matmuls=False, dtype="bfloat16")
+    weights = grid_weights(args, seed=6)
+    ids = rng.integers(3, args.vocab_size, size=(1, 5)).astype(np.int32)
+    orig = Llama(weights, args)
+    want = np.asarray(orig.generate_tokens(ids, 8)).tolist()
+
+    tree = quantize_param_tree(
+        permute_rope_layout(build_param_tree(weights, args), args))
+    qpath = str(tmp_path / "q8bf16.npz")
+    save_quantized_npz(tree, qpath)
+    booted = Llama.from_quantized(qpath, args)
+    assert booted.params["layers"]["attn_norm"].dtype == jnp.bfloat16
+    assert np.asarray(booted.generate_tokens(ids, 8)).tolist() == want
