@@ -207,6 +207,16 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     scale arrays "k_s"/"v_s"; new K/V rows quantize at write
     (ops.quantize_kv_rows) and attention dequantizes via the commuting
     post-scales — dense or paged, XLA or Pallas kernel.
+
+    The cache/pool is a LOOP-INVARIANT input of the layer scan (round-3
+    restructure): attention masks strictly to kv_idx < pos and folds the
+    current token's K/V in as an explicit appended column, each layer emits
+    only its new [B, KVH, HD] rows as scan outputs, and one post-scan
+    scatter commits all layers' rows into the donated cache in place.  The
+    previous form threaded the whole pool through the scan as xs/ys, which
+    re-sliced and re-stacked pool-sized buffers every layer — at full-8B
+    serving shapes (4.3 GB pool) that copy traffic, not compute, dominated
+    the step (~3.7x the parameter-bytes floor, BENCHMARKS.md round 3).
     """
     B = tokens.shape[0]
     quant = "k_s" in cache
@@ -216,6 +226,10 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             block_table, (pos // page)[:, None], axis=1
         )[:, 0]
         offsets = pos % page
+    kc_all, vc_all = cache["k"], cache["v"]
+    ks_all, vs_all = cache.get("k_s"), cache.get("v_s")
+    NL = kc_all.shape[0]
+    kv_dt = kc_all.dtype
     h = embed_tokens(params, tokens[:, None])  # [B, 1, D]
     cos_b = jnp.take(cos, pos, axis=0)  # [B, HD//2]
     sin_b = jnp.take(sin, pos, axis=0)
@@ -236,10 +250,7 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
         return jnp.stack([r1, r2], axis=-1).reshape(x.shape).astype(x.dtype)
 
     def step(h, xs):
-        if quant:
-            lp, ck, cv, ks, vs = xs
-        else:
-            (lp, ck, cv), ks, vs = xs, None, None
+        li, lp = xs
         x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
         if cfg.fused:
             q, k, v = ops.fused_qkv(x, lp["wqkv"], cfg.n_heads, cfg.kv_heads,
@@ -250,38 +261,53 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
         q = rope_rows(q)
         k = rope_rows(k)
         if quant:
-            k, k_s = ops.quantize_kv_rows(k)  # [B, 1, KVH, HD] -> + [B,1,KVH]
-            v, v_s = ops.quantize_kv_rows(v)
+            k8, k_s = ops.quantize_kv_rows(k)  # [B, 1, KVH, HD] + [B,1,KVH]
+            v8, v_s = ops.quantize_kv_rows(v)
+            cur_k, cur_v = k8[:, 0], v8[:, 0]
+            cur_ks, cur_vs = k_s[:, 0], v_s[:, 0]
+        else:
+            cur_k = k[:, 0].astype(kv_dt)  # pool dtype: match a read-back
+            cur_v = v[:, 0].astype(kv_dt)
+            cur_ks = cur_vs = None
         if block_table is not None:
-            ck, cv = ops.paged_update_kv_cache(ck, cv, k, v, page_ids, offsets)
-            if quant:
-                ks = ops.paged_update_scales(ks, k_s[:, 0], page_ids, offsets)
-                vs = ops.paged_update_scales(vs, v_s[:, 0], page_ids, offsets)
             from ..ops.kernels import paged_attention as pk
             # Compiled kernel needs 128-aligned head_dim for its manual page
             # DMAs (pk.supports); interpret mode (tests) takes any shape.
             if cfg.paged_kernel == 2 or (
                     cfg.paged_kernel == 1
-                    and pk.supports(cfg.head_dim, ck.shape[2], ck.dtype)):
+                    and pk.supports(cfg.head_dim, kc_all.shape[3], kv_dt)):
                 kr = vr = None
                 if quant:
-                    kr = ops.gather_page_scales(ks, block_table)
-                    vr = ops.gather_page_scales(vs, block_table)
-                attn = pk.paged_attention(q, ck, cv, block_table, pos,
-                                          k_scale_rows=kr, v_scale_rows=vr,
+                    kr = ops.gather_page_scales_stacked(ks_all, li,
+                                                        block_table)
+                    vr = ops.gather_page_scales_stacked(vs_all, li,
+                                                        block_table)
+                attn = pk.paged_attention(q, kc_all, vc_all, block_table,
+                                          pos, k_scale_rows=kr,
+                                          v_scale_rows=vr, layer=li,
+                                          cur_k=cur_k, cur_v=cur_v,
+                                          cur_ks=cur_ks, cur_vs=cur_vs,
                                           interpret=cfg.paged_kernel == 2)
             else:
-                attn = ops.paged_attention(q, ck, cv, block_table, pos,
-                                           precision=cfg.precision,
-                                           k_scale=ks, v_scale=vs)
+                attn = ops.paged_attention_stacked(
+                    q, kc_all, vc_all, li, block_table, pos,
+                    precision=cfg.precision, k_scale_pool=ks_all,
+                    v_scale_pool=vs_all, cur_k=cur_k, cur_v=cur_v,
+                    cur_ks=cur_ks, cur_vs=cur_vs)
         else:
-            ck, cv = ops.ragged_update_kv_cache(ck, cv, k, v, pos)
+            ck = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
+            ksl = vsl = None
             if quant:
-                ks = ops.ragged_update_scales(ks, k_s[:, 0], pos)
-                vs = ops.ragged_update_scales(vs, v_s[:, 0], pos)
+                ksl = jax.lax.dynamic_index_in_dim(ks_all, li, 0,
+                                                   keepdims=False)
+                vsl = jax.lax.dynamic_index_in_dim(vs_all, li, 0,
+                                                   keepdims=False)
             attn = ops.ragged_cache_attention(q, ck, cv, pos,
                                               precision=cfg.precision,
-                                              k_scale=ks, v_scale=vs)
+                                              k_scale=ksl, v_scale=vsl,
+                                              cur_k=cur_k, cur_v=cur_v,
+                                              cur_ks=cur_ks, cur_vs=cur_vs)
         h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
                                  scale=lp.get("wo_scale")).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
@@ -297,17 +323,18 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                s_up=lp.get("w_up_scale"),
                                s_down=lp.get("w_down_scale"))
         if quant:
-            return h, (ck, cv, ks, vs)
-        return h, (ck, cv)
+            return h, (cur_k, cur_v, cur_ks, cur_vs)
+        return h, (cur_k, cur_v)
 
-    xs = (params["layers"], cache["k"], cache["v"])
-    if quant:
-        xs += (cache["k_s"], cache["v_s"])
-    h, ys = jax.lax.scan(step, h, xs, unroll=cfg.unroll)
-    if quant:
-        cache_new = dict(zip(("k", "v", "k_s", "v_s"), ys))
+    h, ys = jax.lax.scan(step, h, (jnp.arange(NL), params["layers"]),
+                         unroll=cfg.unroll)
+    if block_table is not None:
+        cache_new = ops.commit_decode_rows_paged(cache, ys[0], ys[1],
+                                                 page_ids, offsets,
+                                                 *(ys[2:] if quant else ()))
     else:
-        cache_new = dict(zip(("k", "v"), ys))
+        cache_new = ops.commit_decode_rows_dense(cache, ys[0], ys[1], pos,
+                                                 *(ys[2:] if quant else ()))
     h = ops.rms_norm(h[:, -1, :], params["norm"], cfg.norm_eps)
     return lm_logits(params, h, cfg.precision), cache_new
 

@@ -15,7 +15,7 @@ are the always-available fallback and the numerics oracle for those kernels.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -470,7 +470,8 @@ def gather_page_scales(scale_pool: jax.Array, block_table: jax.Array):
 def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
                            v_cache: jax.Array, pos: jax.Array,
                            precision=None, k_scale=None,
-                           v_scale=None) -> jax.Array:
+                           v_scale=None, cur_k=None, cur_v=None,
+                           cur_ks=None, cur_vs=None) -> jax.Array:
     """Single-token attention with per-row visible lengths.
 
     q: [B, 1, NH, HD]; caches [B, KVH, M, HD]; pos: [B] — row b attends
@@ -480,12 +481,22 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
     as a per-column post-scale on the scores, V scales fold into the probs
     before the value contraction (see quantize_kv_rows) — f32 accumulation
     either way, no dequantized cache is ever materialized.
+
+    Appended-current mode (cur_k/cur_v [B, KVH, HD] given, cache dtype):
+    the cache is READ-ONLY state holding tokens 0..pos[b]-1 (mask is strict,
+    kv_idx < pos) and the current token's K/V ride as an explicit appended
+    column — the form that lets the serving layer scan keep the whole pool
+    loop-invariant and commit all layers' new rows with one post-scan
+    scatter instead of re-stacking pool-sized ys per layer.  int8 callers
+    pass the quantized rows + their scales (cur_ks/cur_vs [B, KVH]) so the
+    math matches a read-back of the written cache exactly.
     """
     B, L, NH, HD = q.shape
     assert L == 1, "ragged attention is a decode (single-token) op"
     KVH = k_cache.shape[1]
     G = NH // KVH
     M = k_cache.shape[2]
+    append = cur_k is not None
     qg = q.reshape(B, KVH, G, HD)
     kc = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
     scores = jnp.einsum("bkgd,bkmd->bkgm", qg, kc, precision=precision,
@@ -494,8 +505,21 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
         scores = scores * k_scale[:, :, None, :]
     scores = scores / math.sqrt(HD)
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, M), 3)
-    scores = jnp.where(kv_idx <= pos[:, None, None, None], scores, -jnp.inf)
+    lim = pos[:, None, None, None]
+    if append:
+        scores = jnp.where(kv_idx < lim, scores, -jnp.inf)
+        ck = cur_k.astype(q.dtype) if cur_k.dtype == jnp.int8 else cur_k
+        s_cur = jnp.einsum("bkgd,bkd->bkg", qg, ck, precision=precision,
+                           preferred_element_type=jnp.float32)
+        if cur_ks is not None:
+            s_cur = s_cur * cur_ks[:, :, None]
+        scores = jnp.concatenate(
+            [scores, (s_cur / math.sqrt(HD))[..., None]], axis=-1)
+    else:
+        scores = jnp.where(kv_idx <= lim, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
+    p_cur = probs[..., M:] if append else None  # [B, KVH, G, 1]
+    probs = probs[..., :M] if append else probs
     if v_scale is not None:
         probs = (probs * v_scale[:, :, None, :]).astype(q.dtype)
         vc = v_cache.astype(q.dtype)
@@ -504,4 +528,95 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
         vc = v_cache
     out = jnp.einsum("bkgm,bkmd->bkgd", probs, vc, precision=precision,
                      preferred_element_type=jnp.float32)
+    if append:
+        cv = cur_v.astype(q.dtype) if cur_v.dtype == jnp.int8 else cur_v
+        if cur_vs is not None:
+            p_cur = p_cur * cur_vs[:, :, None, None]
+        out = out + p_cur.astype(jnp.float32) * cv.astype(
+            jnp.float32)[:, :, None, :]
     return out.reshape(B, 1, NH, HD).astype(q.dtype)
+
+
+def paged_attention_stacked(q: jax.Array, k_pools: jax.Array,
+                            v_pools: jax.Array, li, block_table: jax.Array,
+                            pos: jax.Array, precision=None,
+                            k_scale_pool=None, v_scale_pool=None,
+                            cur_k=None, cur_v=None,
+                            cur_ks=None, cur_vs=None) -> jax.Array:
+    """XLA paged decode attention reading layer `li` of the STACKED pools.
+
+    k_pools/v_pools: [NL, P, KVH, page, HD] — the whole-model pool stays a
+    loop-invariant input of the serving layer scan; this gathers only the
+    block-table pages of layer `li` (one fused gather, no pool-sized slice
+    materialization) and attends with the current token appended
+    (see ragged_cache_attention).  Scale pools are [NL, P, KVH, page].
+    """
+    B = q.shape[0]
+    maxp = block_table.shape[1]
+    kvh, page, hd = k_pools.shape[2], k_pools.shape[3], k_pools.shape[4]
+    kg = k_pools[li, block_table]  # [B, maxp, KVH, page, HD]
+    vg = v_pools[li, block_table]
+    k_t = kg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
+    v_t = vg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
+    ks = vs = None
+    if k_scale_pool is not None:
+        ks = gather_page_scales_stacked(k_scale_pool, li, block_table)
+        vs = gather_page_scales_stacked(v_scale_pool, li, block_table)
+    return ragged_cache_attention(q, k_t, v_t, pos, precision=precision,
+                                  k_scale=ks, v_scale=vs, cur_k=cur_k,
+                                  cur_v=cur_v, cur_ks=cur_ks, cur_vs=cur_vs)
+
+
+def gather_page_scales_stacked(scale_pools: jax.Array, li,
+                               block_table: jax.Array):
+    """Layer `li` of stacked scale pools [NL, P, KVH, page] -> per-row dense
+    scales [B, KVH, maxp*page] following the block table (the stacked-pool
+    counterpart of gather_page_scales)."""
+    B, maxp = block_table.shape
+    kvh, page = scale_pools.shape[2], scale_pools.shape[3]
+    g = scale_pools[li, block_table]  # [B, maxp, KVH, page]
+    return g.transpose(0, 2, 1, 3).reshape(B, kvh, maxp * page)
+
+
+def commit_decode_rows_paged(cache: Dict, k_rows: jax.Array,
+                             v_rows: jax.Array, page_ids: jax.Array,
+                             offsets: jax.Array, ks_rows=None,
+                             vs_rows=None) -> Dict:
+    """Commit every layer's new decode K/V rows to the paged pool in ONE
+    scatter: rows [NL, B, KVH, HD] (pool dtype) land at
+    (layer, page_ids[b], :, offsets[b]).  The single write point the
+    restructured serving step uses after its layer scan — the pool input is
+    donated by the caller, so this is an in-place update, not a copy.
+    int8 pools also commit scale rows [NL, B, KVH]."""
+    # Advanced indices at axes 1 and 3 (separated by a slice) move the
+    # broadcast [B] axis to the front: the set value is [B, NL, KVH, ...].
+    new = {"k": cache["k"].at[:, page_ids, :, offsets].set(
+               k_rows.astype(cache["k"].dtype).transpose(1, 0, 2, 3)),
+           "v": cache["v"].at[:, page_ids, :, offsets].set(
+               v_rows.astype(cache["v"].dtype).transpose(1, 0, 2, 3))}
+    if ks_rows is not None:
+        new["k_s"] = cache["k_s"].at[:, page_ids, :, offsets].set(
+            ks_rows.transpose(1, 0, 2))
+        new["v_s"] = cache["v_s"].at[:, page_ids, :, offsets].set(
+            vs_rows.transpose(1, 0, 2))
+    return new
+
+
+def commit_decode_rows_dense(cache: Dict, k_rows: jax.Array,
+                             v_rows: jax.Array, pos: jax.Array,
+                             ks_rows=None, vs_rows=None) -> Dict:
+    """Dense-cache counterpart of commit_decode_rows_paged: rows
+    [NL, B, KVH, HD] land at (layer, b, :, pos[b]) of the
+    [NL, B, KVH, M, HD] cache in one scatter."""
+    B = pos.shape[0]
+    rows = jnp.arange(B)
+    new = {"k": cache["k"].at[:, rows, :, pos].set(
+               k_rows.astype(cache["k"].dtype).transpose(1, 0, 2, 3)),
+           "v": cache["v"].at[:, rows, :, pos].set(
+               v_rows.astype(cache["v"].dtype).transpose(1, 0, 2, 3))}
+    if ks_rows is not None:
+        new["k_s"] = cache["k_s"].at[:, rows, :, pos].set(
+            ks_rows.transpose(1, 0, 2))
+        new["v_s"] = cache["v_s"].at[:, rows, :, pos].set(
+            vs_rows.transpose(1, 0, 2))
+    return new

@@ -63,21 +63,33 @@ def supports(head_dim: int, page_size: int, kv_dtype) -> bool:
     return head_dim % 128 == 0 and page_size % min_sublane == 0
 
 
-def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
-            q_ref, kp_ref, vp_ref,      # q block (VMEM), pools (HBM)
-            *rest,                      # [ks_ref, vs_ref,] o_ref, scratch...
+def _kernel(*refs,                      # prefetch (SMEM), blocks, scratch
             page: int, kvh: int, scale: float, chunk: int,
-            quant: bool = False):
+            quant: bool = False, stacked: bool = False):
+    # Prefetch order: bt, pos, [layer (stacked)], [cur-k/v scales (quant
+    # append)].  Stacked mode == appended-current mode: the pools are the
+    # whole-model [NL, P, KVH, page, HD] stacks holding tokens 0..pos-1
+    # (strict mask) and the current token's K/V ride as explicit [KVH, HD]
+    # blocks, folded in after the page loop — the serving layer scan keeps
+    # the pool loop-invariant and commits rows once per step outside.
+    it = iter(refs)
+    bt_ref, pos_ref = next(it), next(it)
+    li_ref = next(it) if stacked else None
+    kscur_ref = vscur_ref = None
+    if quant and stacked:
+        kscur_ref, vscur_ref = next(it), next(it)
+    q_ref, kp_ref, vp_ref = next(it), next(it), next(it)
     if quant:
         # int8 pools: per-(token, head) scale rows [KVH, maxp*page] ride a
         # regular VMEM block (gathered outside by ops.gather_page_scales —
         # 1/HD of the value traffic); the value pages still stream by DMA.
-        ks_ref, vs_ref, o_ref = rest[:3]
-        kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v = rest[3:]
+        ks_ref, vs_ref = next(it), next(it)
     else:
         ks_ref = vs_ref = None
-        o_ref = rest[0]
-        kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v = rest[1:]
+    if stacked:
+        ck_ref, cv_ref = next(it), next(it)
+    o_ref = next(it)
+    kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v = it
     b = pl.program_id(0)
     pos = pos_ref[b]
     # Pages that hold real tokens — clamped to the block-table width: a row
@@ -86,15 +98,18 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
     # unclamped, bt_ref[b, j] for j >= maxp reads out of bounds of the SMEM
     # table and DMAs a garbage page index.  Overrun rows' outputs are
     # discarded by the caller; in-range rows are unaffected by the clamp.
-    n = jnp.minimum((pos + page) // page, bt_ref.shape[1])
-    nc = (n + chunk - 1) // chunk           # chunks (>= 1)
+    # Stacked/append mode: the pool holds pos tokens (0..pos-1), not pos+1.
+    held = pos if stacked else pos + 1
+    n = jnp.minimum((held + page - 1) // page, bt_ref.shape[1])
+    nc = (n + chunk - 1) // chunk           # chunks (0 iff append with pos=0)
+    vlim = pos - 1 if stacked else pos      # visible: kv_idx <= vlim
 
     def page_dma(buf, pool_ref, sem, slot, c, j):
         # Page j of row b -> chunk-buffer slot (slot, c).  One DMA covers all
         # KV heads of the page ([KVH, page, HD], contiguous in the pool).
-        return pltpu.make_async_copy(
-            pool_ref.at[bt_ref[b, j]], buf.at[slot, c], sem.at[slot, c]
-        )
+        src = (pool_ref.at[li_ref[0], bt_ref[b, j]] if stacked
+               else pool_ref.at[bt_ref[b, j]])
+        return pltpu.make_async_copy(src, buf.at[slot, c], sem.at[slot, c])
 
     def start_chunk(slot, cidx):
         for c in range(chunk):  # static unroll; C copies go out back-to-back
@@ -131,12 +146,12 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
         # entries — are masked off.
         kv_idx = ci * cols + jax.lax.broadcasted_iota(
             jnp.int32, (1, cols), 1)                       # [1, cols]
-        visible = kv_idx <= pos
+        visible = kv_idx <= vlim
         # Column form of the mask for V: slots past `n` were never DMA'd and
         # hold garbage (NaN in interpret mode); 0 * NaN = NaN, so the zeroed
         # softmax columns alone don't protect the p @ v contraction.
         vis_col = (ci * cols + jax.lax.broadcasted_iota(
-            jnp.int32, (cols, 1), 0)) <= pos
+            jnp.int32, (cols, 1), 0)) <= vlim
         for h in range(kvh):                                # static unroll
             ks = kbuf[slot, :, h].reshape(cols, hd).astype(jnp.float32)
             vs = jnp.where(vis_col,
@@ -169,12 +184,35 @@ def _kernel(bt_ref, pos_ref,            # scalar prefetch (SMEM)
         return 0
 
     jax.lax.fori_loop(0, nc, body, 0)
+    if stacked:
+        # Fold in the current token's appended column (always visible; the
+        # only column when pos == 0 and the page loop ran zero chunks).
+        # Quantized rows post-scale exactly like a read-back of the written
+        # pool slot: score * k_scale, prob * v_scale.
+        for h in range(kvh):
+            ckr = ck_ref[h].astype(jnp.float32)             # [HD]
+            s_cur = jnp.sum(q[h] * ckr[None, :], axis=-1,
+                            keepdims=True) * scale          # [G, 1]
+            if quant:
+                s_cur = s_cur * kscur_ref[b, h]
+            m = m_s[h]
+            m_new = jnp.maximum(m, s_cur)
+            p = jnp.exp(s_cur - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_s[h] = l_s[h] * alpha + p
+            if quant:
+                p = p * vscur_ref[b, h]
+            acc_s[h] = acc_s[h] * alpha + p * cv_ref[h].astype(
+                jnp.float32)[None, :]
+            m_s[h] = m_new
     o_ref[:] = (acc_s[:] / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
 
 
 def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     block_table: jax.Array, pos: jax.Array,
                     k_scale_rows=None, v_scale_rows=None,
+                    layer=None, cur_k=None, cur_v=None,
+                    cur_ks=None, cur_vs=None,
                     interpret: bool = False) -> jax.Array:
     """Decode attention over the paged cache by streaming block-table pages.
 
@@ -187,41 +225,66 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     per-row dense scale gather (ops.core.gather_page_scales); scale traffic
     is 1/HD of the values so it rides an ordinary VMEM block while the
     values keep their streaming DMAs.
+
+    Stacked mode (`layer` given): pools are the whole-model stacks
+    [NL, P, KVH, page, HD] holding tokens 0..pos[b]-1 and the kernel DMAs
+    pages of layer `layer`; the current token's K/V come in as cur_k/cur_v
+    [B, KVH, HD] (pool dtype; int8 adds cur_ks/cur_vs [B, KVH] f32 scales)
+    and are folded in after the page loop.  This keeps the pool a
+    loop-invariant input of the serving layer scan (no pool-sized slice or
+    re-stack per layer); the caller commits all layers' rows with one
+    post-scan scatter (ops.core.commit_decode_rows_paged).
     """
     B, L, NH, HD = q.shape
     assert L == 1, "paged attention is a decode (single-token) op"
-    P, KVH, page, _ = k_pages.shape
+    stacked = layer is not None
+    if stacked:
+        assert cur_k is not None and cur_v is not None
+        KVH, page = k_pages.shape[2], k_pages.shape[3]
+    else:
+        KVH, page = k_pages.shape[1], k_pages.shape[2]
     maxp = block_table.shape[1]
     G = NH // KVH
     chunk = min(CHUNK, maxp)
     qg = q.reshape(B, KVH, G, HD)
     quant = k_scale_rows is not None
 
-    scale_specs = []
-    scale_args = ()
+    prefetch = [block_table.astype(jnp.int32), pos.astype(jnp.int32)]
+    if stacked:
+        prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+        if quant:
+            prefetch += [cur_ks.astype(jnp.float32),
+                         cur_vs.astype(jnp.float32)]
+
+    scale_specs, scale_args = [], ()
     if quant:
         scale_specs = [
-            pl.BlockSpec((None, KVH, maxp * page),
-                         lambda b, bt, pp: (b, 0, 0)),
-            pl.BlockSpec((None, KVH, maxp * page),
-                         lambda b, bt, pp: (b, 0, 0)),
+            pl.BlockSpec((None, KVH, maxp * page), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, KVH, maxp * page), lambda b, *_: (b, 0, 0)),
         ]
         scale_args = (k_scale_rows, v_scale_rows)
+    cur_specs, cur_args = [], ()
+    if stacked:
+        cur_specs = [
+            pl.BlockSpec((None, KVH, HD), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, KVH, HD), lambda b, *_: (b, 0, 0)),
+        ]
+        cur_args = (cur_k, cur_v)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((None, KVH, G, HD),
-                         lambda b, bt, pp: (b, 0, 0, 0)),
+            pl.BlockSpec((None, KVH, G, HD), lambda b, *_: (b, 0, 0, 0)),
             # Pools pinned to HBM: under ANY Mosaic may pull them into VMEM
             # (lane-padding HD, then rejecting the [page, HD] memref slice).
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             *scale_specs,
+            *cur_specs,
         ],
         out_specs=pl.BlockSpec((None, KVH, G, HD),
-                               lambda b, bt, pp: (b, 0, 0, 0)),
+                               lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, KVH, page, HD), k_pages.dtype),
             pltpu.VMEM((2, chunk, KVH, page, HD), v_pages.dtype),
@@ -235,13 +298,12 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     out = pl.pallas_call(
         partial(_kernel, page=page, kvh=KVH, scale=1.0 / math.sqrt(HD),
-                chunk=chunk, quant=quant),
+                chunk=chunk, quant=quant, stacked=stacked),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(block_table.astype(jnp.int32), pos.astype(jnp.int32),
-      qg, k_pages, v_pages, *scale_args)
+    )(*prefetch, qg, k_pages, v_pages, *scale_args, *cur_args)
     return out.reshape(B, 1, NH, HD)
