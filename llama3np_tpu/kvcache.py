@@ -100,11 +100,15 @@ def init_paged_cache(args: ModelArgs, num_pages: int, page_size: int = 16,
 
 
 class PageAllocator:
-    """Host-side free-list allocator over the page pool (page 0 reserved)."""
+    """Host-side refcounted free-list allocator over the page pool (page 0
+    reserved).  Refcounts exist for prefix caching (prefix.py): a page can be
+    referenced by several block tables plus the prefix registry at once, and
+    returns to the free list only when the last reference drops."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, 0, -1))  # stack; 0 reserved
+        self._rc = [0] * num_pages
 
     def alloc(self, n: int) -> list:
         if n > len(self._free):
@@ -112,12 +116,28 @@ class PageAllocator:
                 f"paged KV cache exhausted: need {n} pages, "
                 f"{len(self._free)} free of {self.num_pages - 1}"
             )
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        for p in pages:
+            self._rc[p] = 1
+        return pages
+
+    def share(self, pages) -> None:
+        """Add a reference to already-allocated pages."""
+        for p in pages:
+            if p != 0:
+                assert self._rc[p] > 0, f"share of free page {p}"
+                self._rc[p] += 1
 
     def free(self, pages) -> None:
         for p in pages:
             if p != 0:
-                self._free.append(p)
+                self._rc[p] -= 1
+                assert self._rc[p] >= 0, f"double free of page {p}"
+                if self._rc[p] == 0:
+                    self._free.append(p)
+
+    def refcount(self, page: int) -> int:
+        return self._rc[page]
 
     @property
     def available(self) -> int:

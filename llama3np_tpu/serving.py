@@ -110,6 +110,33 @@ def admission_prefill_paged(params, padded, true_len, page_idx, cache,
     return logits[:, -1, :], scatter_row_paged(row, page_idx, cache)
 
 
+def gather_pool_row(cache, idx, row_dtype):
+    """Gather pool pages `idx` ([max_pages] int32, 0 = null page) into a
+    [NL, 1, KVH, M, HD] row cache in `row_dtype` — the prefix-cache admission
+    path (prefix.py): the shared prefix's K/V is copied once from the pool
+    (a bytes-bound gather) instead of recomputed (a FLOPs+weights-stream
+    prefill).  int8 pools dequantize here; the suffix prefill then attends
+    the same dequantized values decode attention would reconstruct via its
+    commuting post-scales."""
+    nl, _, kvh, page, hd = cache["k"].shape
+
+    def to_row(c):  # [NL, n, KVH, page, HD] -> [NL, 1, KVH, n*page, HD]
+        return c.transpose(0, 2, 1, 3, 4).reshape(
+            nl, kvh, idx.shape[0] * page, hd)[:, None]
+
+    k = cache["k"][:, idx]
+    v = cache["v"][:, idx]
+    if "k_s" in cache:
+        ks = cache["k_s"][:, idx][..., None]  # [NL, n, KVH, page, 1]
+        vs = cache["v_s"][:, idx][..., None]
+        k = (k.astype(jnp.float32) * ks).astype(row_dtype)
+        v = (v.astype(jnp.float32) * vs).astype(row_dtype)
+    else:
+        k = k.astype(row_dtype)
+        v = v.astype(row_dtype)
+    return {"k": to_row(k), "v": to_row(v)}
+
+
 def prefill_row_chunk(params, chunk_ids, start, chunk_len, row, cos, sin,
                       cfg, first_chunk):
     """One chunk of a chunked admission prefill against the request's
@@ -154,13 +181,21 @@ class BatchEngine:
     cache memory tracks the sum of live sequence lengths instead of
     `capacity x max_seq_len`.  Pages are allocated at admission and extended
     on demand as a sequence crosses a page boundary.
+
+    prefix_cache=True (paged only) additionally shares KV pages across
+    requests with a common prompt prefix and caches finished conversations
+    for follow-up turns (prefix.py): admission skips prefill compute for
+    every fully-cached page, gathering its K/V from the pool instead.
+    Cached pages evict LRU under pool pressure, so the feature never
+    reduces effective capacity.
     """
 
     def __init__(self, engine, capacity: int = 8, paged: bool = False,
                  page_size: int = 16, num_pages: Optional[int] = None,
                  top_k: int = 0, top_p: float = 1.0, sampling_seed: int = 0,
                  kv_quant: Optional[str] = None,
-                 admit_chunk: Optional[int] = None):
+                 admit_chunk: Optional[int] = None,
+                 prefix_cache: bool = False):
         self.engine = engine
         self.args = engine.args
         self.cfg = engine.cfg
@@ -182,6 +217,9 @@ class BatchEngine:
                 raise ValueError("admit_chunk must divide max_seq_len "
                                  "(chunk starts stay in-bounds)")
         self.admit_chunk = admit_chunk
+        if prefix_cache and not paged:
+            # Sharing is block-table indirection; the dense layout has none.
+            raise ValueError("prefix_cache requires paged=True")
         self._in_admission = False
         from .kvcache import init_cache, init_paged_cache, PageAllocator
         if paged:
@@ -200,6 +238,8 @@ class BatchEngine:
             self._future_pages = np.zeros(capacity, np.int64)
         else:
             self.cache = init_cache(self.args, capacity, quant=kv_quant)
+        from .prefix import PrefixRegistry
+        self._registry = PrefixRegistry(page_size) if prefix_cache else None
         self.pos = np.zeros(capacity, np.int32)       # next write position
         self.tokens = np.zeros(capacity, np.int32)    # last token per slot
         # Per-slot sampling temperature (0 = greedy); top_k/top_p are
@@ -226,6 +266,8 @@ class BatchEngine:
             partial(admission_prefill_paged, cfg=self.cfg, row_dtype=row_dt),
             donate_argnums=(4,))
         self._scatter_paged = jax.jit(scatter_row_paged, donate_argnums=(2,))
+        self._gather_row = jax.jit(
+            partial(gather_pool_row, row_dtype=self._row_dt))
         self._chunk_fns = {}  # (A, first) -> jitted prefill_row_chunk
         self._step = jax.jit(partial(forward_ragged_decode, cfg=self.cfg),
                              donate_argnums=(3,))
@@ -287,12 +329,24 @@ class BatchEngine:
         """Admission-time worst-case page reservation: every active request's
         not-yet-allocated tail pages are counted against the pool, so
         `_ensure_pages` can never hit MemoryError mid-step with no way to
-        make progress (ADVICE r1 #3)."""
+        make progress (ADVICE r1 #3).  Prefix-cached pages held only by the
+        registry count as available — they evict on demand (_alloc)."""
         L = len(req.prompt_ids)
         n_needed = min(-(-(L + 1) // self.page_size), self.max_pages)
         worst = self._worst_case_pages(req)
         outstanding = int(sum(self._future_pages))
-        return self.allocator.available - outstanding >= max(worst, n_needed)
+        avail = self.allocator.available
+        if self._registry is not None:
+            avail += self._registry.evictable_pages(self.allocator)
+        return avail - outstanding >= max(worst, n_needed)
+
+    def _alloc(self, n: int) -> list:
+        """Allocate pages, evicting LRU prefix-cache entries when the free
+        list alone cannot cover the request (the reservation accounting above
+        already counted those evictable pages as available)."""
+        if self._registry is not None and self.allocator.available < n:
+            self._registry.evict(n - self.allocator.available, self.allocator)
+        return self.allocator.alloc(n)
 
     def _admit(self):
         if self._in_admission:
@@ -315,21 +369,40 @@ class BatchEngine:
                 donate_argnums=(4,))
         return self._chunk_fns[key]
 
-    def _admit_paged_chunked(self, slot: int, req: Request, padded, L: int):
-        """Chunked admission: run the prompt prefill `admit_chunk` tokens at
-        a time against a temporary row cache, interleaving a decode step for
-        the co-tenant slots between chunks — a long admission bounds every
-        active stream's stall at one chunk instead of one whole prompt.
+    def _admit_row(self, slot: int, req: Request, padded, L: int,
+                   n_hit: int = 0, shared: Optional[list] = None):
+        """Row-cache admission: prefill the prompt in chunks against a
+        temporary row cache, then commit it to the page pool in one scatter.
+        Serves two features at once:
+
+        * chunked admission (admit_chunk set): a decode step for the
+          co-tenant slots interleaves between chunks, so a long admission
+          bounds every active stream's stall at one chunk instead of one
+          whole prompt (VERDICT r2 weak #4);
+        * prefix caching (n_hit > 0): the first `n_hit` pages' K/V is
+          gathered from the pool (already computed by an earlier request)
+          and only tokens from `n_hit * page_size` on are prefilled.  Shared
+          pages enter this slot's block table but are never rewritten —
+          decode writes start at pos = L, past them.
 
         The slot is reserved (req.admitting) with an all-zero block table:
         interleaved decode writes for it land on the null page and its
         logits are discarded, so live state is untouched until the single
         final scatter."""
         eng = self.engine
-        A = self.admit_chunk
         page = self.page_size
+        start0 = n_hit * page
+        shared = list(shared or [])
         n_needed = min(-(-(L + 1) // page), self.max_pages)
-        pages = self.allocator.alloc(n_needed)
+        # Share before allocating: _alloc may evict registry leaves, and the
+        # just-looked-up prefix pages must not be candidates.
+        self.allocator.share(shared)
+        try:
+            fresh = self._alloc(n_needed - n_hit)
+        except MemoryError:
+            self.allocator.free(shared)
+            raise
+        pages = shared + fresh
         self._pages[slot] = pages
         self._future_pages[slot] = self._worst_case_pages(req) - n_needed
         self.block_tables[slot] = 0  # parked
@@ -340,26 +413,36 @@ class BatchEngine:
         self.pos[slot] = 0
         nl, _, kvh, _, hd = self.cache["k"].shape
         M = self.max_pages * page
-        row = {"k": jnp.zeros((nl, 1, kvh, M, hd), self._row_dt),
-               "v": jnp.zeros((nl, 1, kvh, M, hd), self._row_dt)}
+        if n_hit:
+            idx = np.zeros(self.max_pages, np.int32)
+            idx[:n_hit] = shared
+            row = self._gather_row(self.cache, jnp.asarray(idx))
+        else:
+            row = {"k": jnp.zeros((nl, 1, kvh, M, hd), self._row_dt),
+                   "v": jnp.zeros((nl, 1, kvh, M, hd), self._row_dt)}
+        base = self.admit_chunk or 512
+        interleave = self.admit_chunk is not None
         self._in_admission = True
         try:
             logits0 = None
-            for start in range(0, L, A):
+            start = start0
+            while start < L:
+                A = min(base, M - start)  # never lets a chunk write past M
                 clen = min(A, L - start)
                 cids = np.zeros((1, A), np.int32)
                 cids[0, :clen] = padded[0, start : start + clen]
                 logits0, row = self._chunk_fn(A, start == 0)(
                     eng.params, jnp.asarray(cids), jnp.int32(start),
                     jnp.int32(clen), row, eng.cos, eng.sin)
-                if start + A < L and any(
+                start += clen
+                if interleave and start < L and any(
                         r is not None and not r.admitting
                         for r in self.slots):
                     self.step()  # co-tenants advance between chunks
         finally:
             self._in_admission = False
         idx = np.zeros(self.max_pages, np.int32)
-        idx[:n_needed] = pages
+        idx[n_hit:n_needed] = fresh  # shared prefix pages are never rewritten
         self.cache = self._scatter_paged(row, jnp.asarray(idx), self.cache)
         self.block_tables[slot, :n_needed] = pages
         req.admitting = False
@@ -370,8 +453,15 @@ class BatchEngine:
         from .generate import pad_prompt
         padded, L = pad_prompt(np.asarray([req.prompt_ids], np.int32),
                                self.args)
-        if self.paged and self.admit_chunk and L > self.admit_chunk:
-            logits0 = self._admit_paged_chunked(slot, req, padded, L)
+        n_hit, shared = 0, []
+        if self._registry is not None and L > self.page_size:
+            # Cap the hit so at least one suffix token remains: admission
+            # must run a real forward to produce tok0's logits.
+            n_hit, shared = self._registry.lookup(
+                req.prompt_ids, max_pages=(L - 1) // self.page_size)
+        if self.paged and (n_hit
+                           or (self.admit_chunk and L > self.admit_chunk)):
+            logits0 = self._admit_row(slot, req, padded, L, n_hit, shared)
         elif self.paged:
             # Allocate pages covering the prompt plus tok0's upcoming write;
             # the remaining worst-case tail stays reserved (future pages).
@@ -380,7 +470,7 @@ class BatchEngine:
             # with budget >= 1 (validated at submit) keeps this in range, and
             # the min() guards the cap regardless.
             n_needed = min(-(-(L + 1) // page), self.max_pages)
-            pages = self.allocator.alloc(n_needed)
+            pages = self._alloc(n_needed)
             self._pages[slot] = pages
             self._future_pages[slot] = self._worst_case_pages(req) - n_needed
             self.block_tables[slot] = 0
@@ -411,6 +501,11 @@ class BatchEngine:
         req.generated.append(first)
         self.tokens[slot] = first
         self.pos[slot] = L  # `first`'s own position; written by next step
+        if self._registry is not None and self.paged:
+            # Cache the prompt's full pages for future admissions (shared
+            # prefix entries are recognized and skipped by the registry).
+            self._registry.register(req.prompt_ids, self._pages[slot],
+                                    self.allocator)
         self._maybe_finish(req, first)
 
     # -- stepping ------------------------------------------------------------
@@ -441,7 +536,7 @@ class BatchEngine:
             need = min(need, self.max_pages - 1)
             have = len(self._pages[slot])
             while have <= need:
-                (pid,) = self.allocator.alloc(1)  # covered by the admission
+                (pid,) = self._alloc(1)           # covered by the admission
                 self._pages[slot].append(pid)     # reservation, cannot fail
                 self.block_tables[slot, have] = pid
                 self._future_pages[slot] = max(self._future_pages[slot] - 1, 0)
@@ -521,12 +616,27 @@ class BatchEngine:
             self.slots[req.slot] = None
             self.temps[req.slot] = 0.0
             if self.paged:
+                if self._registry is not None:
+                    # Cache the conversation (prompt + generated) so a
+                    # follow-up turn extending it reuses the whole history.
+                    # The last generated token's K/V may never have been
+                    # written (it was produced but not fed back), so only
+                    # the first L+G-1 positions are known-valid.
+                    n_valid = (len(req.prompt_ids) + len(req.generated) - 1)
+                    self._registry.register(req.text_ids[:n_valid],
+                                            self._pages[req.slot],
+                                            self.allocator)
                 self.allocator.free(self._pages[req.slot])
                 self._pages[req.slot] = []
                 self._future_pages[req.slot] = 0
                 self.block_tables[req.slot] = 0
             return True
         return False
+
+    @property
+    def prefix_stats(self) -> Optional[dict]:
+        """Prefix-cache counters (None when prefix_cache is off)."""
+        return None if self._registry is None else self._registry.stats()
 
     def run_to_completion(self, max_steps: int = 100000) -> None:
         for _ in range(max_steps):
