@@ -30,7 +30,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASELINE_TOKS = 33.0  # reference README.md:20
-DECODE_TOKENS = 512  # long scan amortizes the host<->device roundtrip
+# Single-scan decode length.  One scan = one dispatch; the published number
+# is wall time INCLUDING the ~24 ms dev-tunnel dispatch, so longer scans
+# amortize it toward the ~34k tok/s device-side rate (chained segments do
+# NOT pipeline through the tunnel — measured round 4, scripts/
+# headline_sweep.py: each extra dispatch costs ~23 ms).  1000 tokens fits
+# the M=1024 cache bound after the 5-token prompt.
+DECODE_TOKENS = 1000
 PROMPT = [1, 76, 505, 263, 12561]  # "I have a dream" (reference tokenizer)
 
 
@@ -58,7 +64,7 @@ def main():
     from llama3np_tpu.models.llama import Llama
     import jax
 
-    args = preset("stories15M", max_seq_len=1024, decode_token_unroll=4)
+    args = preset("stories15M", max_seq_len=1024, decode_token_unroll=8)
     if os.path.exists("stories15M.model.npz"):
         weights = dict(np.load("stories15M.model.npz"))
         print("bench: using real ./stories15M.model.npz weights", file=sys.stderr)
