@@ -539,3 +539,45 @@ def convert_hf_model(model_dir: str, out_path: Optional[str] = None,
     if out_path:
         save_npz(weights, out_path)
     return weights
+
+
+def args_from_hf_config(model_dir: str, **overrides) -> ModelArgs:
+    """Build `ModelArgs` from a HuggingFace checkpoint directory's
+    config.json — head counts, FFN width, rope_theta, and the llama3.1
+    `rope_scaling` remap (rope_type "llama3") when present.  Pairs with
+    `convert_hf_model`: convert the weights, then boot with these args.
+    `max_position_embeddings` becomes max_seq_len unless overridden
+    (long-context checkpoints: override down to the context you serve —
+    KV-cache memory scales with it)."""
+    import json
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    rs = cfg.get("rope_scaling") or None
+    if rs is not None:
+        kind = rs.get("rope_type", rs.get("type"))
+        if kind != "llama3":
+            raise ValueError(f"unsupported rope_scaling type {kind!r} "
+                             "(only the llama3.1 'llama3' remap)")
+        rs = dict(factor=rs["factor"],
+                  low_freq_factor=rs.get("low_freq_factor", 1.0),
+                  high_freq_factor=rs.get("high_freq_factor", 4.0),
+                  original_max_position_embeddings=rs.get(
+                      "original_max_position_embeddings", 8192))
+    kw = dict(
+        dim=cfg["hidden_size"],
+        n_layers=cfg["num_hidden_layers"],
+        n_heads=cfg["num_attention_heads"],
+        n_kv_heads=cfg.get("num_key_value_heads"),
+        vocab_size=cfg["vocab_size"],
+        max_seq_len=cfg.get("max_position_embeddings", 2048),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        hidden_dim=cfg.get("intermediate_size"),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        rope_scaling=rs,
+        dtype="bfloat16" if cfg.get("torch_dtype") == "bfloat16"
+        else "float32",
+    )
+    kw.update(overrides)
+    return ModelArgs(**kw).validate()

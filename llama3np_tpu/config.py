@@ -40,6 +40,10 @@ class ModelArgs:
     dtype: str = "float32"  # parameter/compute dtype: float32 | bfloat16 | float16
 
     # --- TPU-native extensions --------------------------------------------
+    # Llama-3.1 long-context RoPE frequency remap (HF rope_type "llama3"):
+    # {"factor", "low_freq_factor", "high_freq_factor",
+    #  "original_max_position_embeddings"}.  None = unscaled (llama2/llama3.0).
+    rope_scaling: Optional[dict] = None
     hidden_dim: Optional[int] = None  # FFN dim; None -> ffn_hidden_dim(dim)
     multiple_of: int = 32
     ffn_dim_multiplier: Optional[float] = None
@@ -141,20 +145,40 @@ PRESETS = {
         dim=2048, n_layers=22, n_heads=32, n_kv_heads=4, vocab_size=32000,
         max_seq_len=2048, hidden_dim=5632, rope_theta=10000.0, norm_eps=1e-5,
     ),
+    # llama3.2 checkpoints ship with the llama3.1 rope remap (HF config
+    # rope_scaling factor 32) — it changes frequencies at ALL positions, not
+    # just past the original context, so it is required for weight parity.
     "llama3.2-1b": dict(
         dim=2048, n_layers=16, n_heads=32, n_kv_heads=8, vocab_size=128256,
         max_seq_len=8192, hidden_dim=8192, rope_theta=500000.0, norm_eps=1e-5,
         dtype="bfloat16", tie_word_embeddings=True,
+        rope_scaling=dict(factor=32.0, low_freq_factor=1.0,
+                          high_freq_factor=4.0,
+                          original_max_position_embeddings=8192),
     ),
     "llama3.2-3b": dict(
         dim=3072, n_layers=28, n_heads=24, n_kv_heads=8, vocab_size=128256,
         max_seq_len=8192, hidden_dim=8192, rope_theta=500000.0, norm_eps=1e-5,
         dtype="bfloat16", tie_word_embeddings=True,
+        rope_scaling=dict(factor=32.0, low_freq_factor=1.0,
+                          high_freq_factor=4.0,
+                          original_max_position_embeddings=8192),
     ),
     "llama3-8b": dict(
         dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, vocab_size=128256,
         max_seq_len=8192, hidden_dim=14336, rope_theta=500000.0, norm_eps=1e-5,
         dtype="bfloat16",
+    ),
+    # llama3.1-8b: same widths as llama3-8b plus the long-context remap; the
+    # released model supports 131072 positions — the preset defaults to 16K
+    # (override max_seq_len for longer; cache memory scales with it).
+    "llama3.1-8b": dict(
+        dim=4096, n_layers=32, n_heads=32, n_kv_heads=8, vocab_size=128256,
+        max_seq_len=16384, hidden_dim=14336, rope_theta=500000.0,
+        norm_eps=1e-5, dtype="bfloat16",
+        rope_scaling=dict(factor=8.0, low_freq_factor=1.0,
+                          high_freq_factor=4.0,
+                          original_max_position_embeddings=8192),
     ),
     "llama3-70b": dict(
         dim=8192, n_layers=80, n_heads=64, n_kv_heads=8, vocab_size=128256,

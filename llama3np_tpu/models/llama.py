@@ -501,7 +501,8 @@ class Llama:
     def _finish_init(self):
         args = self.args
         cos, sin = ops.rope_tables(args.head_dim, args.max_seq_len,
-                                   args.rope_theta, jnp.float32)
+                                   args.rope_theta, jnp.float32,
+                                   scaling=args.rope_scaling)
         self.cos, self.sin = cos, sin
         self.cache = self.init_cache()
         self._fwd_cache: Dict[Tuple[int, bool], Any] = {}

@@ -15,7 +15,7 @@ are the always-available fallback and the numerics oracle for those kernels.
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -152,15 +152,40 @@ def fused_ffn(z: jax.Array, wgu: jax.Array, w_down: jax.Array,
 # RoPE
 # ---------------------------------------------------------------------------
 
+def scale_rope_inv_freq(inv_freq: np.ndarray, scaling: dict) -> np.ndarray:
+    """Llama-3.1 frequency remap (HF `rope_type: "llama3"` semantics).
+
+    Wavelengths short relative to the original context keep their frequency,
+    long wavelengths are slowed by `factor`, and a band between
+    `high_freq_factor` and `low_freq_factor` interpolates smoothly — the
+    published llama3.1/3.2 long-context scaling rule.  Pure NumPy f64 so the
+    remap is a host-side one-time cost like the tables themselves.
+    """
+    factor = float(scaling["factor"])
+    low = float(scaling.get("low_freq_factor", 1.0))
+    high = float(scaling.get("high_freq_factor", 4.0))
+    orig = float(scaling.get("original_max_position_embeddings", 8192))
+    wavelen = 2.0 * np.pi / inv_freq
+    smooth = (orig / wavelen - low) / (high - low)
+    smoothed = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = np.where(wavelen > orig / low, inv_freq / factor, inv_freq)
+    medium = (wavelen >= orig / high) & (wavelen <= orig / low)
+    return np.where(medium, smoothed, out)
+
+
 def rope_tables(head_dim: int, max_seq_len: int, theta: float = 10000.0,
-                dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                dtype=jnp.float32,
+                scaling: Optional[dict] = None) -> Tuple[jax.Array, jax.Array]:
     """Precomputed cos/sin tables [M, HD//2].
 
     Computed host-side in f64 then cast — one-time cost, and more accurate
     than f32 accumulation of position*inv_freq at large positions.
+    `scaling` (ModelArgs.rope_scaling) applies the llama3.1 frequency remap.
     """
     exponents = np.arange(0, head_dim, 2, dtype=np.float64)[: head_dim // 2] / head_dim
     inv_freq = 1.0 / (theta ** exponents)
+    if scaling is not None:
+        inv_freq = scale_rope_inv_freq(inv_freq, scaling)
     angles = np.arange(max_seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
     return jnp.asarray(np.cos(angles), dtype), jnp.asarray(np.sin(angles), dtype)
 

@@ -355,7 +355,8 @@ class PipelinedLlama:
         )._replace(flash_prefill=False, paged_kernel=0)
         self.params = shard_params_pp(params, mesh, args)
         cos, sin = rope_tables(args.head_dim, args.max_seq_len,
-                               args.rope_theta, jnp.float32)
+                               args.rope_theta, jnp.float32,
+                               scaling=args.rope_scaling)
         self.cos, self.sin = cos, sin
         self._init_cache = lambda B: shard_cache_pp(
             init_cache(args, B), mesh)

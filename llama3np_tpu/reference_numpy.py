@@ -40,10 +40,19 @@ def rmsnorm_np(x: np.ndarray, w: np.ndarray, eps: float) -> np.ndarray:
 
 
 def rope_tables_np(head_dim: int, max_seq_len: int, theta: float = 10000.0,
-                   dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
-    """cos/sin tables [M, HD//2]; matches reference llama3.py:31-38 math."""
+                   dtype=np.float32,
+                   scaling: Optional[dict] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables [M, HD//2]; matches reference llama3.py:31-38 math.
+
+    `scaling` applies the llama3.1 frequency remap (shared host-side f64
+    helper; the independent check of the remap itself is
+    tests/test_rope_scaling.py vs the transformers implementation)."""
     exponents = np.arange(0, head_dim, 2, dtype=np.float64)[: head_dim // 2] / head_dim
     inv_freq = 1.0 / (theta ** exponents)
+    if scaling is not None:
+        from .ops.core import scale_rope_inv_freq  # lazy: keeps default path numpy-only
+
+        inv_freq = scale_rope_inv_freq(inv_freq, scaling)
     angles = np.arange(max_seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
     return np.cos(angles).astype(dtype), np.sin(angles).astype(dtype)
 
@@ -77,7 +86,8 @@ class NumpyLlama:
             "lm_head": params["lm_head"].astype(self.dtype),
         }
         self.cos, self.sin = rope_tables_np(
-            args.head_dim, args.max_seq_len, args.rope_theta, self.dtype
+            args.head_dim, args.max_seq_len, args.rope_theta, self.dtype,
+            scaling=getattr(args, "rope_scaling", None),
         )
         self.reset_cache()
 
