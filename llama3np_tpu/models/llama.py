@@ -373,48 +373,84 @@ def sample_rows(logits, keys, temps, top_k: int = 0, top_p: float = 1.0):
     return jnp.where(temps > 0, drawn, greedy)
 
 
+def token_logprobs(logits, chosen, k: int):
+    """Serving log-probabilities: log_softmax over the raw (untempered)
+    logits — the model's own distribution, OpenAI-API semantics — evaluated
+    at the chosen token, plus the top-k alternatives.
+
+    logits [B, VS], chosen [B] int32, k >= 1 (top-1 is effectively free next
+    to the log_softmax over the vocab).  Returns
+    (chosen_lp [B] f32, top_ids [B, k] int32, top_lps [B, k] f32).
+    """
+    lps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    chosen_lp = jnp.take_along_axis(
+        lps, chosen[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    top_lps, top_ids = jax.lax.top_k(lps, k)
+    return chosen_lp, top_ids.astype(jnp.int32), top_lps
+
+
 def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
-                        cfg: StaticConfig, num_steps: int, block_table=None):
+                        cfg: StaticConfig, num_steps: int, block_table=None,
+                        num_logprobs: Optional[int] = None):
     """`num_steps` ragged decode steps as one lax.scan (the serving decode
     quantum — amortizes per-dispatch latency across tokens).
 
-    Returns (tokens [B, num_steps], cache).  Paged mode requires the block
-    tables to already cover positions pos .. pos + num_steps - 1.
+    Returns (tokens [B, num_steps], cache); with num_logprobs=k set,
+    (tokens, (chosen_lp [B, n], top_ids [B, n, k], top_lps [B, n, k]),
+    cache).  Paged mode requires the block tables to already cover
+    positions pos .. pos + num_steps - 1.
     """
     def step(carry, _):
         tok, p, cache = carry
         logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
                                               cfg, block_table)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, p + 1, cache), nxt
+        if num_logprobs is None:
+            return (nxt, p + 1, cache), nxt
+        return (nxt, p + 1, cache), (
+            nxt, *token_logprobs(logits, nxt, num_logprobs))
 
-    (_, _, cache), toks = jax.lax.scan(step, (tokens, pos, cache),
-                                       length=num_steps)
-    return toks.T, cache
+    (_, _, cache), ys = jax.lax.scan(step, (tokens, pos, cache),
+                                     length=num_steps)
+    if num_logprobs is None:
+        return ys.T, cache
+    toks, lp, tids, tlps = ys
+    return toks.T, (lp.T, tids.transpose(1, 0, 2), tlps.transpose(1, 0, 2)), \
+        cache
 
 
 def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
                                 cos, sin, base_key, rids, ctrs, temps,
                                 cfg: StaticConfig, num_steps: int,
                                 top_k: int = 0, top_p: float = 1.0,
-                                block_table=None):
+                                block_table=None,
+                                num_logprobs: Optional[int] = None):
     """`ragged_decode_steps` with per-row sampling (temps[b] == 0 keeps that
     row greedy), for serving engines with mixed-policy batches.
 
     rids/ctrs: [B] int32 request ids and per-request token indices — step i
     samples row b with fold_row_keys(base_key, rids[b], ctrs[b] + i), so
-    streams are schedule-independent (ADVICE r1 #1)."""
+    streams are schedule-independent (ADVICE r1 #1).  num_logprobs as in
+    ragged_decode_steps (logprobs of the *sampled* token under the raw
+    distribution)."""
     def step(carry, _):
         tok, p, ctr, cache = carry
         logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
                                               cfg, block_table)
         keys = fold_row_keys(base_key, rids, ctr)
         nxt = sample_rows(logits, keys, temps, top_k, top_p)
-        return (nxt, p + 1, ctr + 1, cache), nxt
+        if num_logprobs is None:
+            return (nxt, p + 1, ctr + 1, cache), nxt
+        return (nxt, p + 1, ctr + 1, cache), (
+            nxt, *token_logprobs(logits, nxt, num_logprobs))
 
-    (_, _, _, cache), toks = jax.lax.scan(step, (tokens, pos, ctrs, cache),
-                                          length=num_steps)
-    return toks.T, cache
+    (_, _, _, cache), ys = jax.lax.scan(step, (tokens, pos, ctrs, cache),
+                                        length=num_steps)
+    if num_logprobs is None:
+        return ys.T, cache
+    toks, lp, tids, tlps = ys
+    return toks.T, (lp.T, tids.transpose(1, 0, 2), tlps.transpose(1, 0, 2)), \
+        cache
 
 
 # ---------------------------------------------------------------------------

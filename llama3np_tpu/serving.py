@@ -167,10 +167,22 @@ class Request:
     done: bool = False
     slot: Optional[int] = None
     admitting: bool = False  # mid chunked-admission: slot reserved, no decode
+    # Per-token log-probabilities (None = not requested; k >= 1 = record the
+    # chosen token's logprob plus the top-k alternatives).  Aligned with
+    # `generated` (a popped stop token pops its logprob entries too).
+    logprobs: Optional[int] = None
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
+    top_logprobs: List[List[tuple]] = dataclasses.field(default_factory=list)
 
     @property
     def text_ids(self) -> List[int]:
         return list(self.prompt_ids) + self.generated
+
+    def _record_logprob(self, lp: float, ids, lps) -> None:
+        self.token_logprobs.append(float(lp))
+        k = self.logprobs or 0
+        self.top_logprobs.append(
+            [(int(i), float(v)) for i, v in zip(ids[:k], lps[:k])])
 
 
 class BatchEngine:
@@ -195,7 +207,8 @@ class BatchEngine:
                  top_k: int = 0, top_p: float = 1.0, sampling_seed: int = 0,
                  kv_quant: Optional[str] = None,
                  admit_chunk: Optional[int] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 logprobs: Optional[int] = None):
         self.engine = engine
         self.args = engine.args
         self.cfg = engine.cfg
@@ -274,6 +287,16 @@ class BatchEngine:
         self._sample = jax.jit(partial(self._sample_impl, top_k=top_k,
                                        top_p=top_p))
         self._step_n = {}  # (quantum, sampled) -> jitted multi-step scan
+        # Log-probability support: `logprobs` is the ENGINE-static top-K so
+        # every step reuses one compiled program regardless of which requests
+        # opted in (static shapes, no recompiles); requests record at most
+        # their own submit(logprobs=k) <= K entries.
+        if logprobs is not None and logprobs < 1:
+            raise ValueError("engine logprobs (top-K) must be >= 1")
+        self.logprobs_k = logprobs
+        if logprobs is not None:
+            from .models.llama import token_logprobs
+            self._lp_fn = jax.jit(partial(token_logprobs, k=logprobs))
 
     @staticmethod
     def _sample_impl(logits, base_key, rids, ctrs, temps, top_k, top_p):
@@ -285,9 +308,11 @@ class BatchEngine:
         if key not in self._step_n:
             if sampled:
                 fn = partial(sampled_ragged_decode_steps, cfg=self.cfg,
-                             num_steps=n, top_k=self.top_k, top_p=self.top_p)
+                             num_steps=n, top_k=self.top_k, top_p=self.top_p,
+                             num_logprobs=self.logprobs_k)
             else:
-                fn = partial(ragged_decode_steps, cfg=self.cfg, num_steps=n)
+                fn = partial(ragged_decode_steps, cfg=self.cfg, num_steps=n,
+                             num_logprobs=self.logprobs_k)
             self._step_n[key] = jax.jit(fn, donate_argnums=(3,))
         return self._step_n[key]
 
@@ -297,13 +322,22 @@ class BatchEngine:
     # -- admission -----------------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens: int,
-               stop_ids=(1, 2), temperature: float = 0.0) -> Request:
+               stop_ids=(1, 2), temperature: float = 0.0,
+               logprobs: Optional[int] = None) -> Request:
         req = Request(next(self._ids), list(prompt_ids), max_new_tokens,
-                      tuple(stop_ids), temperature)
+                      tuple(stop_ids), temperature, logprobs=logprobs)
         # Validate at submission: a bad request must fail here, not blow up
         # a later step() when it finally gets admitted from the queue.
         if req.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        if logprobs is not None:
+            if self.logprobs_k is None:
+                raise ValueError(
+                    "engine was built without logprobs support "
+                    "(BatchEngine(..., logprobs=K))")
+            if not 0 <= logprobs <= self.logprobs_k:
+                raise ValueError(f"logprobs must be in [0, {self.logprobs_k}]"
+                                 f" (the engine's static top-K)")
         if len(req.prompt_ids) + req.max_new_tokens > self.args.max_seq_len:
             raise ValueError(
                 f"request exceeds max_seq_len: prompt {len(req.prompt_ids)} "
@@ -499,6 +533,10 @@ class BatchEngine:
         self.rids[slot] = req.request_id
         self.sample_ctr[slot] = 1  # tok0 consumed token index 0
         req.generated.append(first)
+        if req.logprobs is not None:
+            l1, i1, v1 = self._lp_fn(logits0, tok0.astype(jnp.int32))
+            req._record_logprob(np.asarray(l1)[0], np.asarray(i1)[0],
+                                np.asarray(v1)[0])
         self.tokens[slot] = first
         self.pos[slot] = L  # `first`'s own position; written by next step
         if self._registry is not None and self.paged:
@@ -557,6 +595,7 @@ class BatchEngine:
             self._ensure_pages(quantum)
             kwargs["block_table"] = jnp.asarray(self.block_tables)
         sampled = self._sampling_active()
+        lp = None  # (chosen_lp [B, q], top_ids [B, q, K], top_lps [B, q, K])
         if quantum == 1:
             logits, self.cache = self._step(
                 self.engine.params, jnp.asarray(self.tokens),
@@ -570,10 +609,14 @@ class BatchEngine:
                                    jnp.asarray(self.temps))
             else:
                 nxt = jnp.argmax(logits, axis=-1)
+            if self.logprobs_k is not None:
+                l1, i1, v1 = self._lp_fn(logits, nxt)
+                lp = (np.asarray(l1)[:, None], np.asarray(i1)[:, None],
+                      np.asarray(v1)[:, None])
             toks = np.asarray(nxt, np.int32)[:, None]
         else:
             if sampled:
-                toks, self.cache = self._step_n_fn(quantum, sampled=True)(
+                out = self._step_n_fn(quantum, sampled=True)(
                     self.engine.params, jnp.asarray(self.tokens),
                     jnp.asarray(self.pos), self.cache,
                     self.engine.cos, self.engine.sin, self._base_key,
@@ -581,18 +624,26 @@ class BatchEngine:
                     jnp.asarray(self.temps), **kwargs,
                 )
             else:
-                toks, self.cache = self._step_n_fn(quantum)(
+                out = self._step_n_fn(quantum)(
                     self.engine.params, jnp.asarray(self.tokens),
                     jnp.asarray(self.pos), self.cache,
                     self.engine.cos, self.engine.sin, **kwargs,
                 )
+            if self.logprobs_k is not None:
+                toks, (l1, i1, v1), self.cache = out
+                lp = (np.asarray(l1), np.asarray(i1), np.asarray(v1))
+            else:
+                toks, self.cache = out
             toks = np.asarray(toks, np.int32)  # [B, quantum]
         finished = []
         for slot, req in enumerate(self.slots):
             if req is None or req.done or req.admitting:
                 continue  # mid-admission slots discard their parked tokens
-            for tok in map(int, toks[slot]):
+            for j, tok in enumerate(map(int, toks[slot])):
                 req.generated.append(tok)
+                if req.logprobs is not None and lp is not None:
+                    req._record_logprob(lp[0][slot, j], lp[1][slot, j],
+                                        lp[2][slot, j])
                 self.tokens[slot] = tok
                 self.pos[slot] += 1
                 if self._maybe_finish(req, tok):
@@ -612,6 +663,9 @@ class BatchEngine:
         if hit_stop or over or full:
             if hit_stop:
                 req.generated.pop()  # stop token is not emitted
+                if req.logprobs is not None and req.token_logprobs:
+                    req.token_logprobs.pop()  # stay aligned with `generated`
+                    req.top_logprobs.pop()
             req.done = True
             self.slots[req.slot] = None
             self.temps[req.slot] = 0.0
