@@ -1,0 +1,384 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+New capability beyond the reference (whose only interface is a one-prompt
+CLI, reference llama3.py:324-349): an OpenAI-style completions endpoint on
+stdlib ``http.server``, so the framework serves concurrent network clients
+with no extra dependencies.
+
+Architecture (TPU-first: exactly one thread touches the device):
+
+  * ``EngineLoop`` owns the ``BatchEngine`` and is the ONLY thread calling
+    into JAX — admissions and ragged decode steps stay serialized, matching
+    the single-process device contract.  HTTP handler threads communicate
+    with it through queues: a submission queue in, per-request token queues
+    out.
+  * The loop drains pending submissions, steps the engine one quantum, and
+    forwards each request's newly generated tokens to its queue — so
+    streaming responses see tokens at quantum granularity while the device
+    keeps running full ragged steps for every co-tenant.
+  * Backpressure is inherited from the engine: submissions the paged pool
+    cannot reserve worst-case pages for wait in the engine's own queue
+    (serving.py reservation accounting), not in HTTP threads.
+
+Endpoints:
+  POST /v1/completions   {"prompt": str | "prompt_ids": [int], "max_tokens",
+                          "temperature", "stream", "stop_ids", "echo",
+                          "logprobs": k}
+                         -> JSON completion, or SSE chunks when streaming.
+                         logprobs needs an engine built with
+                         BatchEngine(..., logprobs=K) (k <= K); responses
+                         then carry per-token logprobs + top-k alternatives.
+  GET  /health           liveness + occupancy.
+  GET  /stats            engine counters (incl. prefix-cache stats).
+
+Run:  python -m llama3np_tpu.server --preset test-tiny --synthetic --port 8000
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+_DONE = object()
+
+
+class _Pending:
+    def __init__(self, prompt_ids: List[int], max_tokens: int,
+                 temperature: float, stop_ids, logprobs: Optional[int] = None):
+        self.prompt_ids = prompt_ids
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.stop_ids = tuple(stop_ids)
+        self.logprobs = logprobs
+        self.out: "queue.Queue" = queue.Queue()
+        self.error: Optional[str] = None
+        self.finish_reason: str = "length"
+
+
+class EngineLoop:
+    """Single engine-owning thread: submissions in, token deltas out."""
+
+    def __init__(self, batch_engine, quantum: int = 4):
+        self.be = batch_engine
+        self.quantum = quantum
+        self._subs: "queue.Queue[_Pending]" = queue.Queue()
+        self._tracked = {}  # Request -> (_Pending, n_sent)
+        self._lock = threading.Lock()  # guards stats snapshot only
+        self.served_requests = 0
+        self.served_tokens = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="llama3np-engine")
+        self._thread.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, prompt_ids, max_tokens, temperature=0.0,
+               stop_ids=(1, 2), logprobs=None) -> _Pending:
+        p = _Pending(list(map(int, prompt_ids)), int(max_tokens),
+                     float(temperature), stop_ids, logprobs)
+        self._subs.put(p)
+        return p
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def stats(self) -> dict:
+        with self._lock:
+            s = {"active": self.be.num_active,
+                 "engine_queue": len(self.be._queue),
+                 "served_requests": self.served_requests,
+                 "served_tokens": self.served_tokens}
+        px = self.be.prefix_stats
+        if px is not None:
+            s["prefix_cache"] = px
+        return s
+
+    # -- engine thread -------------------------------------------------------
+
+    def _admit_one(self, p: _Pending):
+        try:
+            req = self.be.submit(p.prompt_ids, max_new_tokens=p.max_tokens,
+                                 stop_ids=p.stop_ids,
+                                 temperature=p.temperature,
+                                 logprobs=p.logprobs)
+        except (ValueError, MemoryError) as e:
+            p.error = str(e)
+            p.out.put(_DONE)
+            return
+        # Keyed by request_id: Request is a mutable dataclass (unhashable).
+        self._tracked[req.request_id] = [req, p, 0]
+
+    def _flush(self):
+        finished = []
+        for rid, state in self._tracked.items():
+            req, p, n_sent = state
+            new = req.generated[n_sent:]
+            if new:
+                delta = {"ids": list(new)}
+                if req.logprobs is not None:
+                    end = n_sent + len(new)
+                    delta["lps"] = list(req.token_logprobs[n_sent:end])
+                    delta["top"] = [
+                        [{"id": i, "logprob": v} for i, v in top]
+                        for top in req.top_logprobs[n_sent:end]]
+                p.out.put(delta)
+                state[2] = n_sent + len(new)
+            if req.done:
+                # The engine pops stop tokens before finishing, so "a stop id
+                # ended this" is exactly "neither budget nor context ran out".
+                hit_budget = len(req.generated) >= req.max_new_tokens
+                hit_ctx = (len(req.prompt_ids) + len(req.generated)
+                           >= self.be.args.max_seq_len)
+                p.finish_reason = "length" if (hit_budget or hit_ctx) else "stop"
+                p.out.put(_DONE)
+                finished.append(rid)
+        for rid in finished:
+            _, p, n_sent = self._tracked.pop(rid)
+            with self._lock:
+                self.served_requests += 1
+                self.served_tokens += n_sent
+
+    def _run(self):
+        while not self._stop.is_set():
+            # Admit everything waiting (engine applies its own backpressure).
+            try:
+                while True:
+                    self._admit_one(self._subs.get_nowait())
+            except queue.Empty:
+                pass
+            if self.be.num_active or self.be._queue:
+                self.be.step(quantum=self.quantum)
+            # Unconditional: a request can finish AT admission (its first
+            # prefill-produced token is a stop id — serving.py
+            # _prefill_into's trailing _maybe_finish), leaving num_active
+            # 0 with its _DONE still owed.
+            self._flush()
+            if not (self.be.num_active or self.be._queue):
+                # Idle: block until the next submission (bounded, so
+                # shutdown is responsive).
+                try:
+                    self._admit_one(self._subs.get(timeout=0.05))
+                except queue.Empty:
+                    pass
+
+
+class CompletionHandler(BaseHTTPRequestHandler):
+    """One instance per connection (ThreadingHTTPServer); the shared state
+    lives on ``self.server`` (see ``serve``)."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    # -- helpers --------------------------------------------------------------
+
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _decode(self, ids: List[int]) -> str:
+        tok = self.server.tokenizer
+        return tok.decode(ids) if tok is not None else ""
+
+    # -- routes ----------------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/health":
+            st = self.server.loop.stats()
+            self._json(200, {"status": "ok", **st})
+        elif self.path == "/stats":
+            self._json(200, self.server.loop.stats())
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        if self.path not in ("/v1/completions", "/completions"):
+            self._json(404, {"error": "not found"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._json(400, {"error": "invalid JSON body"})
+            return
+
+        if "prompt_ids" in body:
+            try:
+                prompt_ids = [int(t) for t in body["prompt_ids"]]
+            except (TypeError, ValueError):
+                self._json(400, {"error": "prompt_ids must be a list of ints"})
+                return
+        elif "prompt" in body:
+            tok = self.server.tokenizer
+            if tok is None:
+                self._json(400, {"error": "server has no tokenizer; "
+                                          "send prompt_ids"})
+                return
+            prompt_ids = tok.encode(str(body["prompt"]), add_bos=True)
+        else:
+            self._json(400, {"error": "prompt or prompt_ids required"})
+            return
+
+        max_tokens = int(body.get("max_tokens", 16))
+        temperature = float(body.get("temperature", 0.0))
+        stop_ids = tuple(body.get("stop_ids", (1, 2)))
+        stream = bool(body.get("stream", False))
+        echo = bool(body.get("echo", False))
+        logprobs = body.get("logprobs")
+        if logprobs is not None:
+            logprobs = int(logprobs)
+
+        loop = self.server.loop
+        pend = loop.submit(prompt_ids, max_tokens, temperature, stop_ids,
+                           logprobs)
+        rid = f"cmpl-{int(time.time() * 1e3):x}-{id(pend) & 0xffff:x}"
+
+        if stream:
+            self._stream_response(pend, rid)
+            return
+
+        tokens: List[int] = []
+        lps: List[float] = []
+        top: List[list] = []
+        while True:
+            item = pend.out.get()
+            if item is _DONE:
+                break
+            tokens.extend(item["ids"])
+            if logprobs is not None:
+                lps.extend(item.get("lps", ()))
+                top.extend(item.get("top", ()))
+        if pend.error is not None:
+            self._json(400, {"error": pend.error})
+            return
+        text = self._decode((prompt_ids if echo else []) + tokens)
+        choice = {"index": 0, "text": text, "token_ids": tokens,
+                  "finish_reason": pend.finish_reason}
+        if logprobs is not None:
+            choice["logprobs"] = {"token_logprobs": lps, "top_logprobs": top}
+        self._json(200, {
+            "id": rid, "object": "text_completion",
+            "choices": [choice],
+            "usage": {"prompt_tokens": len(prompt_ids),
+                      "completion_tokens": len(tokens),
+                      "total_tokens": len(prompt_ids) + len(tokens)},
+        })
+
+    def _stream_response(self, pend: _Pending, rid: str):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(data: str):
+            payload = f"data: {data}\n\n".encode()
+            self.wfile.write(f"{len(payload):x}\r\n".encode()
+                             + payload + b"\r\n")
+            self.wfile.flush()
+
+        n = 0
+        while True:
+            item = pend.out.get()
+            if item is _DONE:
+                break
+            n += len(item["ids"])
+            choice = {"index": 0, "text": self._decode(item["ids"]),
+                      "token_ids": item["ids"]}
+            if "lps" in item:
+                choice["logprobs"] = {"token_logprobs": item["lps"],
+                                      "top_logprobs": item["top"]}
+            chunk(json.dumps({
+                "id": rid, "object": "text_completion.chunk",
+                "choices": [choice]}))
+        if pend.error is not None:
+            chunk(json.dumps({"id": rid, "error": pend.error}))
+        chunk("[DONE]")
+        self.wfile.write(b"0\r\n\r\n")
+        self.wfile.flush()
+
+
+def serve(batch_engine, tokenizer=None, host: str = "127.0.0.1",
+          port: int = 8000, quantum: int = 4,
+          verbose: bool = False) -> ThreadingHTTPServer:
+    """Start the HTTP front-end; returns the (running) server.  The caller
+    owns shutdown: ``srv.shutdown(); srv.loop.shutdown()``."""
+    loop = EngineLoop(batch_engine, quantum=quantum)
+    srv = ThreadingHTTPServer((host, port), CompletionHandler)
+    srv.loop = loop
+    srv.tokenizer = tokenizer
+    srv.verbose = verbose
+    t = threading.Thread(target=srv.serve_forever, daemon=True,
+                         name="llama3np-http")
+    srv._serve_thread = t
+    t.start()
+    return srv
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="llama3np_tpu.server",
+                                description="OpenAI-style completions server")
+    p.add_argument("--preset", default="stories15M")
+    p.add_argument("--model", default="./stories15M.model.npz")
+    p.add_argument("--tokenizer", default="./tokenizer.model.np")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--no-tokenizer", action="store_true",
+                   help="ids-only API (prompt_ids in, token_ids out)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--capacity", type=int, default=8)
+    p.add_argument("--quantum", type=int, default=4)
+    p.add_argument("--paged", action="store_true")
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--kv-quant", default=None, choices=[None, "int8"])
+    p.add_argument("--prefix-cache", action="store_true")
+    p.add_argument("--quant", default=None, choices=[None, "int8"])
+    p.add_argument("--admit-chunk", type=int, default=None)
+    p.add_argument("--logprobs", type=int, default=None, metavar="K",
+                   help="enable per-token logprobs up to top-K")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    from . import Tokenizer, preset, synthetic_weights
+    from .models.llama import Llama
+    from .serving import BatchEngine
+
+    margs = preset(args.preset,
+                   **({"quant": args.quant} if args.quant else {}))
+    source = (synthetic_weights(margs, seed=0) if args.synthetic
+              else args.model)
+    engine = Llama(source, margs)
+    be = BatchEngine(engine, capacity=args.capacity, paged=args.paged,
+                     page_size=args.page_size, kv_quant=args.kv_quant,
+                     admit_chunk=args.admit_chunk,
+                     prefix_cache=args.prefix_cache,
+                     logprobs=args.logprobs)
+    tok = None if args.no_tokenizer else Tokenizer(args.tokenizer)
+    srv = serve(be, tok, args.host, args.port, quantum=args.quantum,
+                verbose=args.verbose)
+    print(f"serving {args.preset} on http://{args.host}:{args.port} "
+          f"(capacity {args.capacity}, quantum {args.quantum})", flush=True)
+    try:
+        srv._serve_thread.join()
+    except KeyboardInterrupt:
+        srv.shutdown()
+        srv.loop.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
