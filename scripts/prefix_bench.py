@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Prefix-caching benchmark: admission cost with and without page reuse.
+
+Workload shape prefix caching exists for: N requests sharing a long system
+prompt (here 1024 tokens) with short unique suffixes.  With prefix_cache on,
+admission for every request after the first gathers the shared pages from
+the pool (a bytes-bound copy) instead of re-running the prefill forward
+(weights-stream + FLOPs bound).
+
+Methodology: each mode runs the workload TWICE on one engine — wave 1 pays
+every compile (jit closures are per-engine; XLA's disk cache only shortens,
+not removes, the load), wave 2 is the measurement.  In ON mode wave 2's
+admissions all hit pages wave 1 registered (including the conversation
+pages of finished requests), which is exactly the feature's steady state.
+
+Pools are bf16 (kv_quant=None): the page gather is then an exact copy, so
+streams should match the uncached engine modulo the chunked-prefill matmul
+realization (suffix-only M vs whole-prompt M — the repo's documented
+near-tie argmax envelope on TPU).  Identity is reported as a diagnostic,
+not asserted.
+
+Run on the real chip:  python scripts/prefix_bench.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+PREFIX_LEN = 1024
+SUFFIX_LEN = 63
+N_REQS = 12
+BUDGET = 32
+CAPACITY = 8
+
+
+def wave(be, prompts):
+    admit_ms = []
+    t0 = time.perf_counter()
+    reqs = []
+    for p in prompts:
+        t = time.perf_counter()
+        reqs.append(be.submit(p, max_new_tokens=BUDGET, stop_ids=()))
+        admit_ms.append((time.perf_counter() - t) * 1e3)
+    be.run_to_completion()
+    wall = time.perf_counter() - t0
+    total = sum(len(r.generated) for r in reqs)
+    assert all(len(r.generated) == BUDGET for r in reqs)
+    return admit_ms, wall, total, reqs
+
+
+def run(prefix_cache: bool, engine, args, prompts):
+    from llama3np_tpu.serving import BatchEngine
+
+    be = BatchEngine(engine, capacity=CAPACITY, paged=True, page_size=32,
+                     num_pages=1 + 2 * CAPACITY * (args.max_seq_len // 32),
+                     prefix_cache=prefix_cache)
+    wave(be, prompts)  # wave 1: compiles + (ON) registry population
+    admit_ms, wall, total, reqs = wave(be, prompts)  # wave 2: measurement
+    return admit_ms, wall, total, be.prefix_stats, reqs
+
+
+def main():
+    import jax
+    from llama3np_tpu import preset, synthetic_weights
+    from llama3np_tpu.models.llama import Llama
+
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    args = preset("llama3-8b", n_layers=2, max_seq_len=2048,
+                  dtype="bfloat16", fuse_matmuls=False)
+    weights = synthetic_weights(args, seed=0)
+    engine = Llama(weights, args)
+    del weights
+
+    rng = np.random.default_rng(0)
+    system = rng.integers(10, args.vocab_size, size=PREFIX_LEN).tolist()
+    prompts = [system + rng.integers(10, args.vocab_size,
+                                     size=SUFFIX_LEN).tolist()
+               for _ in range(N_REQS)]
+
+    out = {}
+    for on in (False, True):
+        admit_ms, wall, total, stats, reqs = run(on, engine, args, prompts)
+        label = "prefix_cache=on " if on else "prefix_cache=off"
+        print(f"\n{label} (warm wave): {total} tokens in {wall:.2f}s "
+              f"({total / wall:,.0f} tok/s aggregate wall)", flush=True)
+        print(f"  admission ms: mean {np.mean(admit_ms):.1f} "
+              f"(min {min(admit_ms):.1f} / max {max(admit_ms):.1f})",
+              flush=True)
+        if stats:
+            print(f"  registry: {stats}", flush=True)
+        out[on] = (admit_ms, wall, reqs)
+
+    sa = [r.generated for r in out[False][2]]
+    sb = [r.generated for r in out[True][2]]
+    same = sum(a == b for a, b in zip(sa, sb))
+    print(f"\nstreams identical: {same}/{len(sa)} "
+          "(divergence = chunked-prefill matmul realization near-ties; "
+          "exact on CPU f32, tests/test_prefix.py)", flush=True)
+    off_ms, on_ms = np.mean(out[False][0]), np.mean(out[True][0])
+    print(f"warm admission: {off_ms:.1f} ms (full prefill) -> "
+          f"{on_ms:.1f} ms (page gather + suffix) = {off_ms / on_ms:.1f}x; "
+          f"workload wall {out[False][1]:.2f}s -> {out[True][1]:.2f}s "
+          f"({out[False][1] / out[True][1]:.2f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
