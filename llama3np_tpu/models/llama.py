@@ -192,7 +192,9 @@ def forward(params: Dict, input_ids, pos, cache: Dict, cos, sin,
 
 
 def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
-                          cfg: StaticConfig, block_table=None):
+                          cfg: StaticConfig, block_table=None,
+                          pos0=None, win=None, win_count=None,
+                          commit=True):
     """One decode step where every batch row sits at its own position.
 
     tokens: [B] int32; pos: [B] int32 (row b's token goes to slot pos[b] and
@@ -217,10 +219,21 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     re-sliced and re-stacked pool-sized buffers every layer — at full-8B
     serving shapes (4.3 GB pool) that copy traffic, not compute, dominated
     the step (~3.7x the parameter-bytes floor, BENCHMARKS.md round 3).
+
+    Deferred-commit mode (the round-4 extension, used by the quantum
+    scans): pos0 [B] is the dispatch-start position (the cache holds only
+    tokens < pos0 — it is NOT a scan carry, so XLA never double-buffers
+    pool-sized copies), `win` holds the quantum's in-flight K/V rows
+    ({"k"/"v": [NL, B, KVH, Q, HD]} + scales when quantized), win_count the
+    number of valid window columns, and commit=False returns
+    (logits, new_rows) with new_rows = (k, v[, k_s, v_s]) each
+    [NL, B, KVH, ...] for the caller to insert into the window.
     """
     B = tokens.shape[0]
     quant = "k_s" in cache
-    if block_table is not None:
+    if pos0 is None:
+        pos0 = pos
+    if block_table is not None and commit:
         page = cache["k"].shape[3]
         page_ids = jnp.take_along_axis(
             block_table, (pos // page)[:, None], axis=1
@@ -269,10 +282,23 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
             cur_k = k[:, 0].astype(kv_dt)  # pool dtype: match a read-back
             cur_v = v[:, 0].astype(kv_dt)
             cur_ks = cur_vs = None
+        wk = wv = wks = wvs = None
+        if win is not None:
+            wk = jax.lax.dynamic_index_in_dim(win["k"], li, 0,
+                                              keepdims=False)
+            wv = jax.lax.dynamic_index_in_dim(win["v"], li, 0,
+                                              keepdims=False)
+            if quant:
+                wks = jax.lax.dynamic_index_in_dim(win["k_s"], li, 0,
+                                                   keepdims=False)
+                wvs = jax.lax.dynamic_index_in_dim(win["v_s"], li, 0,
+                                                   keepdims=False)
         if block_table is not None:
             from ..ops.kernels import paged_attention as pk
             # Compiled kernel needs 128-aligned head_dim for its manual page
             # DMAs (pk.supports); interpret mode (tests) takes any shape.
+            # Window mode (deferred-commit quantum scans) passes the
+            # in-flight rows as an extra VMEM block the kernel folds in.
             if cfg.paged_kernel == 2 or (
                     cfg.paged_kernel == 1
                     and pk.supports(cfg.head_dim, kc_all.shape[3], kv_dt)):
@@ -283,17 +309,20 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                     vr = ops.gather_page_scales_stacked(vs_all, li,
                                                         block_table)
                 attn = pk.paged_attention(q, kc_all, vc_all, block_table,
-                                          pos, k_scale_rows=kr,
+                                          pos0, k_scale_rows=kr,
                                           v_scale_rows=vr, layer=li,
                                           cur_k=cur_k, cur_v=cur_v,
                                           cur_ks=cur_ks, cur_vs=cur_vs,
+                                          win_k=wk, win_v=wv, win_ks=wks,
+                                          win_vs=wvs, win_count=win_count,
                                           interpret=cfg.paged_kernel == 2)
             else:
                 attn = ops.paged_attention_stacked(
-                    q, kc_all, vc_all, li, block_table, pos,
+                    q, kc_all, vc_all, li, block_table, pos0,
                     precision=cfg.precision, k_scale_pool=ks_all,
                     v_scale_pool=vs_all, cur_k=cur_k, cur_v=cur_v,
-                    cur_ks=cur_ks, cur_vs=cur_vs)
+                    cur_ks=cur_ks, cur_vs=cur_vs, win_k=wk, win_v=wv,
+                    win_ks=wks, win_vs=wvs, win_count=win_count)
         else:
             ck = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
@@ -303,11 +332,14 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                                    keepdims=False)
                 vsl = jax.lax.dynamic_index_in_dim(vs_all, li, 0,
                                                    keepdims=False)
-            attn = ops.ragged_cache_attention(q, ck, cv, pos,
+            attn = ops.ragged_cache_attention(q, ck, cv, pos0,
                                               precision=cfg.precision,
                                               k_scale=ksl, v_scale=vsl,
                                               cur_k=cur_k, cur_v=cur_v,
-                                              cur_ks=cur_ks, cur_vs=cur_vs)
+                                              cur_ks=cur_ks, cur_vs=cur_vs,
+                                              win_k=wk, win_v=wv,
+                                              win_ks=wks, win_vs=wvs,
+                                              win_count=win_count)
         h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
                                  scale=lp.get("wo_scale")).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
@@ -328,6 +360,9 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
 
     h, ys = jax.lax.scan(step, h, (jnp.arange(NL), params["layers"]),
                          unroll=cfg.unroll)
+    if not commit:
+        h = ops.rms_norm(h[:, -1, :], params["norm"], cfg.norm_eps)
+        return lm_logits(params, h, cfg.precision), ys
     if block_table is not None:
         cache_new = ops.commit_decode_rows_paged(cache, ys[0], ys[1],
                                                  page_ids, offsets,
@@ -389,29 +424,81 @@ def token_logprobs(logits, chosen, k: int):
     return chosen_lp, top_ids.astype(jnp.int32), top_lps
 
 
+def init_decode_window(cache: Dict, B: int, num_steps: int) -> Dict:
+    """Zero in-flight K/V window for a deferred-commit quantum scan:
+    {"k"/"v": [NL, B, KVH, Q, HD]} in the pool dtype (+ "k_s"/"v_s"
+    [NL, B, KVH, Q] for int8 caches).  ~MBs even at full-8B serving shapes,
+    vs the GB-scale pool a cache-carrying scan would double-buffer."""
+    k = cache["k"]
+    NL, KVH, HD = k.shape[0], k.shape[2], k.shape[-1]
+    win = {"k": jnp.zeros((NL, B, KVH, num_steps, HD), k.dtype),
+           "v": jnp.zeros((NL, B, KVH, num_steps, HD), cache["v"].dtype)}
+    if "k_s" in cache:
+        win["k_s"] = jnp.zeros((NL, B, KVH, num_steps), cache["k_s"].dtype)
+        win["v_s"] = jnp.zeros((NL, B, KVH, num_steps), cache["v_s"].dtype)
+    return win
+
+
+def insert_window_rows(win: Dict, rows, s) -> Dict:
+    """Write one decode step's new K/V rows (forward_ragged_decode
+    commit=False output: (k, v[, k_s, v_s]) each [NL, B, KVH, ...]) into
+    window column `s` (traced scalar)."""
+    new = {"k": jax.lax.dynamic_update_slice_in_dim(
+               win["k"], rows[0][:, :, :, None, :], s, axis=3),
+           "v": jax.lax.dynamic_update_slice_in_dim(
+               win["v"], rows[1][:, :, :, None, :], s, axis=3)}
+    if len(rows) > 2:
+        new["k_s"] = jax.lax.dynamic_update_slice_in_dim(
+            win["k_s"], rows[2][:, :, :, None], s, axis=3)
+        new["v_s"] = jax.lax.dynamic_update_slice_in_dim(
+            win["v_s"], rows[3][:, :, :, None], s, axis=3)
+    return new
+
+
+def commit_window(cache: Dict, win: Dict, pos0, block_table,
+                  num_steps: int) -> Dict:
+    if block_table is not None:
+        return ops.commit_window_paged(cache, win, pos0, block_table,
+                                       num_steps)
+    return ops.commit_window_dense(cache, win, pos0, num_steps)
+
+
 def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
                         cfg: StaticConfig, num_steps: int, block_table=None,
                         num_logprobs: Optional[int] = None):
     """`num_steps` ragged decode steps as one lax.scan (the serving decode
     quantum — amortizes per-dispatch latency across tokens).
 
+    Deferred commit (round 4): the cache/pool is a loop-INVARIANT closure
+    input, not a scan carry — each step attends the frozen pool (tokens
+    < pos[b]) plus a tiny in-flight window holding the quantum's own rows,
+    and one post-scan scatter commits the whole window.  Carrying the
+    donated pool through the scan made XLA double-buffer pool-sized copies
+    every step (2.7 GB/step at full-8B serving shapes, BENCHMARKS.md
+    round 4).
+
     Returns (tokens [B, num_steps], cache); with num_logprobs=k set,
     (tokens, (chosen_lp [B, n], top_ids [B, n, k], top_lps [B, n, k]),
     cache).  Paged mode requires the block tables to already cover
     positions pos .. pos + num_steps - 1.
     """
-    def step(carry, _):
-        tok, p, cache = carry
-        logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
-                                              cfg, block_table)
+    pos0 = pos
+
+    def step(carry, s):
+        tok, win = carry
+        logits, rows = forward_ragged_decode(
+            params, tok, pos0 + s, cache, cos, sin, cfg, block_table,
+            pos0=pos0, win=win, win_count=s, commit=False)
+        win = insert_window_rows(win, rows, s)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if num_logprobs is None:
-            return (nxt, p + 1, cache), nxt
-        return (nxt, p + 1, cache), (
-            nxt, *token_logprobs(logits, nxt, num_logprobs))
+            return (nxt, win), nxt
+        return (nxt, win), (nxt, *token_logprobs(logits, nxt, num_logprobs))
 
-    (_, _, cache), ys = jax.lax.scan(step, (tokens, pos, cache),
-                                     length=num_steps)
+    win0 = init_decode_window(cache, tokens.shape[0], num_steps)
+    (_, win), ys = jax.lax.scan(
+        step, (tokens, win0), jnp.arange(num_steps, dtype=pos.dtype))
+    cache = commit_window(cache, win, pos0, block_table, num_steps)
     if num_logprobs is None:
         return ys.T, cache
     toks, lp, tids, tlps = ys
@@ -432,20 +519,25 @@ def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
     samples row b with fold_row_keys(base_key, rids[b], ctrs[b] + i), so
     streams are schedule-independent (ADVICE r1 #1).  num_logprobs as in
     ragged_decode_steps (logprobs of the *sampled* token under the raw
-    distribution)."""
-    def step(carry, _):
-        tok, p, ctr, cache = carry
-        logits, cache = forward_ragged_decode(params, tok, p, cache, cos, sin,
-                                              cfg, block_table)
-        keys = fold_row_keys(base_key, rids, ctr)
+    distribution).  Deferred-commit like ragged_decode_steps."""
+    pos0 = pos
+
+    def step(carry, s):
+        tok, win = carry
+        logits, rows = forward_ragged_decode(
+            params, tok, pos0 + s, cache, cos, sin, cfg, block_table,
+            pos0=pos0, win=win, win_count=s, commit=False)
+        win = insert_window_rows(win, rows, s)
+        keys = fold_row_keys(base_key, rids, ctrs + s)
         nxt = sample_rows(logits, keys, temps, top_k, top_p)
         if num_logprobs is None:
-            return (nxt, p + 1, ctr + 1, cache), nxt
-        return (nxt, p + 1, ctr + 1, cache), (
-            nxt, *token_logprobs(logits, nxt, num_logprobs))
+            return (nxt, win), nxt
+        return (nxt, win), (nxt, *token_logprobs(logits, nxt, num_logprobs))
 
-    (_, _, _, cache), ys = jax.lax.scan(step, (tokens, pos, ctrs, cache),
-                                        length=num_steps)
+    win0 = init_decode_window(cache, tokens.shape[0], num_steps)
+    (_, win), ys = jax.lax.scan(
+        step, (tokens, win0), jnp.arange(num_steps, dtype=pos.dtype))
+    cache = commit_window(cache, win, pos0, block_table, num_steps)
     if num_logprobs is None:
         return ys.T, cache
     toks, lp, tids, tlps = ys

@@ -496,7 +496,9 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
                            v_cache: jax.Array, pos: jax.Array,
                            precision=None, k_scale=None,
                            v_scale=None, cur_k=None, cur_v=None,
-                           cur_ks=None, cur_vs=None) -> jax.Array:
+                           cur_ks=None, cur_vs=None,
+                           win_k=None, win_v=None, win_ks=None,
+                           win_vs=None, win_count=None) -> jax.Array:
     """Single-token attention with per-row visible lengths.
 
     q: [B, 1, NH, HD]; caches [B, KVH, M, HD]; pos: [B] — row b attends
@@ -515,6 +517,14 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
     scatter instead of re-stacking pool-sized ys per layer.  int8 callers
     pass the quantized rows + their scales (cur_ks/cur_vs [B, KVH]) so the
     math matches a read-back of the written cache exactly.
+
+    In-flight window mode (win_k/win_v [B, KVH, Q, HD] given, cache dtype,
+    with win_count a traced scalar): the quantum scan's deferred-commit
+    form — `pos` is the DISPATCH-START position (the cache holds tokens
+    0..pos[b]-1 for the whole quantum), window column s holds the K/V of
+    the token decoded at quantum step s (position pos[b] + s), and only
+    columns s < win_count are visible.  Requires appended-current mode.
+    int8 windows pass win_ks/win_vs [B, KVH, Q].
     """
     B, L, NH, HD = q.shape
     assert L == 1, "ragged attention is a decode (single-token) op"
@@ -522,6 +532,7 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
     G = NH // KVH
     M = k_cache.shape[2]
     append = cur_k is not None
+    assert win_k is None or append, "window mode requires appended-current"
     qg = q.reshape(B, KVH, G, HD)
     kc = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
     scores = jnp.einsum("bkgd,bkmd->bkgm", qg, kc, precision=precision,
@@ -531,19 +542,33 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
     scores = scores / math.sqrt(HD)
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, M), 3)
     lim = pos[:, None, None, None]
+    nwin = 0
     if append:
         scores = jnp.where(kv_idx < lim, scores, -jnp.inf)
+        parts = [scores]
+        if win_k is not None:
+            nwin = win_k.shape[2]
+            wk = win_k.astype(q.dtype) if win_k.dtype == jnp.int8 else win_k
+            s_win = jnp.einsum("bkgd,bkqd->bkgq", qg, wk,
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+            if win_ks is not None:
+                s_win = s_win * win_ks[:, :, None, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, nwin), 3)
+            parts.append(jnp.where(col < win_count,
+                                   s_win / math.sqrt(HD), -jnp.inf))
         ck = cur_k.astype(q.dtype) if cur_k.dtype == jnp.int8 else cur_k
         s_cur = jnp.einsum("bkgd,bkd->bkg", qg, ck, precision=precision,
                            preferred_element_type=jnp.float32)
         if cur_ks is not None:
             s_cur = s_cur * cur_ks[:, :, None]
-        scores = jnp.concatenate(
-            [scores, (s_cur / math.sqrt(HD))[..., None]], axis=-1)
+        parts.append((s_cur / math.sqrt(HD))[..., None])
+        scores = jnp.concatenate(parts, axis=-1)
     else:
         scores = jnp.where(kv_idx <= lim, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    p_cur = probs[..., M:] if append else None  # [B, KVH, G, 1]
+    p_win = probs[..., M:M + nwin] if nwin else None
+    p_cur = probs[..., M + nwin:] if append else None  # [B, KVH, G, 1]
     probs = probs[..., :M] if append else probs
     if v_scale is not None:
         probs = (probs * v_scale[:, :, None, :]).astype(q.dtype)
@@ -553,6 +578,16 @@ def ragged_cache_attention(q: jax.Array, k_cache: jax.Array,
         vc = v_cache
     out = jnp.einsum("bkgm,bkmd->bkgd", probs, vc, precision=precision,
                      preferred_element_type=jnp.float32)
+    if nwin:
+        wv = win_v.astype(q.dtype) if win_v.dtype == jnp.int8 else win_v
+        if win_vs is not None:
+            p_win = p_win * win_vs[:, :, None, :]
+        # Masked columns carry probs exactly 0 (softmax of -inf), so the
+        # garbage values in unwritten window columns contribute nothing.
+        out = out + jnp.einsum("bkgq,bkqd->bkgd",
+                               p_win.astype(q.dtype), wv,
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
     if append:
         cv = cur_v.astype(q.dtype) if cur_v.dtype == jnp.int8 else cur_v
         if cur_vs is not None:
@@ -567,7 +602,9 @@ def paged_attention_stacked(q: jax.Array, k_pools: jax.Array,
                             pos: jax.Array, precision=None,
                             k_scale_pool=None, v_scale_pool=None,
                             cur_k=None, cur_v=None,
-                            cur_ks=None, cur_vs=None) -> jax.Array:
+                            cur_ks=None, cur_vs=None,
+                            win_k=None, win_v=None, win_ks=None,
+                            win_vs=None, win_count=None) -> jax.Array:
     """XLA paged decode attention reading layer `li` of the STACKED pools.
 
     k_pools/v_pools: [NL, P, KVH, page, HD] — the whole-model pool stays a
@@ -575,7 +612,8 @@ def paged_attention_stacked(q: jax.Array, k_pools: jax.Array,
     block-table pages of layer `li` (one fused gather, no pool-sized slice
     materialization) and attends with the current token appended
     (see ragged_cache_attention).  Scale pools are [NL, P, KVH, page].
-    """
+    win_* pass through to the in-flight-window mode (deferred-commit
+    quantum scans)."""
     B = q.shape[0]
     maxp = block_table.shape[1]
     kvh, page, hd = k_pools.shape[2], k_pools.shape[3], k_pools.shape[4]
@@ -589,7 +627,9 @@ def paged_attention_stacked(q: jax.Array, k_pools: jax.Array,
         vs = gather_page_scales_stacked(v_scale_pool, li, block_table)
     return ragged_cache_attention(q, k_t, v_t, pos, precision=precision,
                                   k_scale=ks, v_scale=vs, cur_k=cur_k,
-                                  cur_v=cur_v, cur_ks=cur_ks, cur_vs=cur_vs)
+                                  cur_v=cur_v, cur_ks=cur_ks, cur_vs=cur_vs,
+                                  win_k=win_k, win_v=win_v, win_ks=win_ks,
+                                  win_vs=win_vs, win_count=win_count)
 
 
 def gather_page_scales_stacked(scale_pools: jax.Array, li,
@@ -624,6 +664,59 @@ def commit_decode_rows_paged(cache: Dict, k_rows: jax.Array,
             ks_rows.transpose(1, 0, 2))
         new["v_s"] = cache["v_s"].at[:, page_ids, :, offsets].set(
             vs_rows.transpose(1, 0, 2))
+    return new
+
+
+def commit_window_paged(cache: Dict, win: Dict, pos0: jax.Array,
+                        block_table: jax.Array, num_steps: int) -> Dict:
+    """Commit a whole quantum's in-flight window to the paged pool in ONE
+    scatter: win["k"/"v"] [NL, B, KVH, Q, HD] (pool dtype; int8 windows also
+    carry "k_s"/"v_s" [NL, B, KVH, Q]) — column s of row b lands at the
+    (page, offset) of position pos0[b] + s via the block table.
+
+    This is the deferred-commit form of commit_decode_rows_paged: the pool
+    is never a quantum-scan carry (XLA double-buffered 2.7 GB of pool copies
+    per step at full-8B shapes — BENCHMARKS.md round 4), only the ~MB window
+    is.  Quantum-overrun positions clamp into the row's last block-table
+    entry exactly like the per-step form (duplicate-slot writes there are
+    unordered, but those slots are never attended before being rewritten at
+    the slot's next admission)."""
+    page = cache["k"].shape[3]
+    maxp = block_table.shape[1]
+    steps = pos0[:, None] + jnp.arange(num_steps, dtype=pos0.dtype)  # [B, Q]
+    pidx = jnp.take_along_axis(block_table,
+                               jnp.minimum(steps // page, maxp - 1), axis=1)
+    offs = steps % page
+    new = {"k": cache["k"].at[:, pidx, :, offs].set(
+               win["k"].transpose(1, 3, 0, 2, 4)),
+           "v": cache["v"].at[:, pidx, :, offs].set(
+               win["v"].transpose(1, 3, 0, 2, 4))}
+    if "k_s" in win:
+        new["k_s"] = cache["k_s"].at[:, pidx, :, offs].set(
+            win["k_s"].transpose(1, 3, 0, 2))
+        new["v_s"] = cache["v_s"].at[:, pidx, :, offs].set(
+            win["v_s"].transpose(1, 3, 0, 2))
+    return new
+
+
+def commit_window_dense(cache: Dict, win: Dict, pos0: jax.Array,
+                        num_steps: int) -> Dict:
+    """Dense-cache counterpart of commit_window_paged: window column s of
+    row b lands at (layer, b, :, pos0[b] + s) of the [NL, B, KVH, M, HD]
+    cache in one scatter (out-of-range overrun positions are dropped by the
+    scatter, matching the per-step form's behavior)."""
+    B = pos0.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, num_steps))
+    steps = pos0[:, None] + jnp.arange(num_steps, dtype=pos0.dtype)
+    new = {"k": cache["k"].at[:, rows, :, steps].set(
+               win["k"].transpose(1, 3, 0, 2, 4)),
+           "v": cache["v"].at[:, rows, :, steps].set(
+               win["v"].transpose(1, 3, 0, 2, 4))}
+    if "k_s" in win:
+        new["k_s"] = cache["k_s"].at[:, rows, :, steps].set(
+            win["k_s"].transpose(1, 3, 0, 2))
+        new["v_s"] = cache["v_s"].at[:, rows, :, steps].set(
+            win["v_s"].transpose(1, 3, 0, 2))
     return new
 
 

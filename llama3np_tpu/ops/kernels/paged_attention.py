@@ -65,16 +65,22 @@ def supports(head_dim: int, page_size: int, kv_dtype) -> bool:
 
 def _kernel(*refs,                      # prefetch (SMEM), blocks, scratch
             page: int, kvh: int, scale: float, chunk: int,
-            quant: bool = False, stacked: bool = False):
-    # Prefetch order: bt, pos, [layer (stacked)], [cur-k/v scales (quant
-    # append)].  Stacked mode == appended-current mode: the pools are the
-    # whole-model [NL, P, KVH, page, HD] stacks holding tokens 0..pos-1
-    # (strict mask) and the current token's K/V ride as explicit [KVH, HD]
-    # blocks, folded in after the page loop — the serving layer scan keeps
-    # the pool loop-invariant and commits rows once per step outside.
+            quant: bool = False, stacked: bool = False,
+            window: bool = False):
+    # Prefetch order: bt, pos, [layer (stacked)], [win_count (window)],
+    # [cur-k/v scales (quant append)].  Stacked mode == appended-current
+    # mode: the pools are the whole-model [NL, P, KVH, page, HD] stacks
+    # holding tokens 0..pos-1 (strict mask) and the current token's K/V ride
+    # as explicit [KVH, HD] blocks, folded in after the page loop — the
+    # serving layer scan keeps the pool loop-invariant and commits rows once
+    # per step outside.  Window mode (deferred-commit quantum scans,
+    # models/llama.py ragged_decode_steps): the pool holds tokens < pos for
+    # the WHOLE quantum, the quantum's own in-flight rows ride a
+    # [KVH, Q, HD] VMEM block, and only columns < win_count are visible.
     it = iter(refs)
     bt_ref, pos_ref = next(it), next(it)
     li_ref = next(it) if stacked else None
+    wc_ref = next(it) if window else None
     kscur_ref = vscur_ref = None
     if quant and stacked:
         kscur_ref, vscur_ref = next(it), next(it)
@@ -88,6 +94,11 @@ def _kernel(*refs,                      # prefetch (SMEM), blocks, scratch
         ks_ref = vs_ref = None
     if stacked:
         ck_ref, cv_ref = next(it), next(it)
+    wk_ref = wv_ref = wks_ref = wvs_ref = None
+    if window:
+        wk_ref, wv_ref = next(it), next(it)
+        if quant:
+            wks_ref, wvs_ref = next(it), next(it)
     o_ref = next(it)
     kbuf, vbuf, m_s, l_s, acc_s, sem_k, sem_v = it
     b = pl.program_id(0)
@@ -184,6 +195,41 @@ def _kernel(*refs,                      # prefetch (SMEM), blocks, scratch
         return 0
 
     jax.lax.fori_loop(0, nc, body, 0)
+    if window:
+        # Fold the quantum's in-flight rows: window column s holds the
+        # token decoded at quantum step s (position pos + s); only columns
+        # s < win_count exist yet.  Unwritten columns carry garbage — the
+        # -inf mask zeroes their probs and the V-side column mask protects
+        # the p @ v contraction (0 * garbage).
+        nq = wk_ref.shape[1]
+        wcount = wc_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
+        wvis_col = jax.lax.broadcasted_iota(jnp.int32, (nq, 1), 0) < wcount
+        for h in range(kvh):
+            wk = wk_ref[h].astype(jnp.float32)              # [Q, HD]
+            wvr = jnp.where(wvis_col, wv_ref[h], 0).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q[h], wk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                       # [G, Q]
+            if quant:
+                s = s * wks_ref[pl.ds(h, 1), :]
+            s = jnp.where(col < wcount, s, -jnp.inf)
+            m = m_s[h]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(col < wcount, jnp.exp(s - m_new), 0.0)
+            # m_new can still be -inf here (pos == 0 ran zero page chunks
+            # AND wcount == 0 masked every window column); exp(m - m_new)
+            # would be exp(-inf - -inf) = nan, poisoning l/acc (0 * nan).
+            # Nothing has accumulated in that case, so alpha := 1.
+            alpha = jnp.where(m_new == -jnp.inf, 1.0, jnp.exp(m - m_new))
+            l_s[h] = l_s[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = p
+            if quant:
+                pv = p * wvs_ref[pl.ds(h, 1), :]
+            acc_s[h] = acc_s[h] * alpha + jnp.dot(
+                pv, wvr, preferred_element_type=jnp.float32)
+            m_s[h] = m_new
     if stacked:
         # Fold in the current token's appended column (always visible; the
         # only column when pos == 0 and the page loop ran zero chunks).
@@ -213,6 +259,8 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                     k_scale_rows=None, v_scale_rows=None,
                     layer=None, cur_k=None, cur_v=None,
                     cur_ks=None, cur_vs=None,
+                    win_k=None, win_v=None, win_ks=None, win_vs=None,
+                    win_count=None,
                     interpret: bool = False) -> jax.Array:
     """Decode attention over the paged cache by streaming block-table pages.
 
@@ -234,10 +282,20 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     loop-invariant input of the serving layer scan (no pool-sized slice or
     re-stack per layer); the caller commits all layers' rows with one
     post-scan scatter (ops.core.commit_decode_rows_paged).
+
+    Window mode (win_k/win_v [B, KVH, Q, HD] pool dtype, win_count a traced
+    scalar; int8 adds win_ks/win_vs [B, KVH, Q] f32): the deferred-commit
+    quantum-scan form — `pos` is the DISPATCH-START position (the pool holds
+    tokens < pos[b] for the whole quantum), window column s holds the K/V of
+    quantum step s, and only columns s < win_count are visible.  The caller
+    commits the whole window once per quantum
+    (ops.core.commit_window_paged).  Requires stacked mode.
     """
     B, L, NH, HD = q.shape
     assert L == 1, "paged attention is a decode (single-token) op"
     stacked = layer is not None
+    window = win_k is not None
+    assert not window or stacked, "window mode requires stacked mode"
     if stacked:
         assert cur_k is not None and cur_v is not None
         KVH, page = k_pages.shape[2], k_pages.shape[3]
@@ -252,6 +310,8 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     prefetch = [block_table.astype(jnp.int32), pos.astype(jnp.int32)]
     if stacked:
         prefetch.append(jnp.asarray(layer, jnp.int32).reshape(1))
+        if window:
+            prefetch.append(jnp.asarray(win_count, jnp.int32).reshape(1))
         if quant:
             prefetch += [cur_ks.astype(jnp.float32),
                          cur_vs.astype(jnp.float32)]
@@ -270,6 +330,21 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
             pl.BlockSpec((None, KVH, HD), lambda b, *_: (b, 0, 0)),
         ]
         cur_args = (cur_k, cur_v)
+    win_specs, win_args = [], ()
+    if window:
+        nq = win_k.shape[2]
+        win_specs = [
+            pl.BlockSpec((None, KVH, nq, HD), lambda b, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((None, KVH, nq, HD), lambda b, *_: (b, 0, 0, 0)),
+        ]
+        win_args = (win_k, win_v)
+        if quant:
+            win_specs += [
+                pl.BlockSpec((None, KVH, nq), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((None, KVH, nq), lambda b, *_: (b, 0, 0)),
+            ]
+            win_args += (win_ks.astype(jnp.float32),
+                         win_vs.astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -282,6 +357,7 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
             pl.BlockSpec(memory_space=pltpu.HBM),
             *scale_specs,
             *cur_specs,
+            *win_specs,
         ],
         out_specs=pl.BlockSpec((None, KVH, G, HD),
                                lambda b, *_: (b, 0, 0, 0)),
@@ -298,12 +374,12 @@ def paged_attention(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
 
     out = pl.pallas_call(
         partial(_kernel, page=page, kvh=KVH, scale=1.0 / math.sqrt(HD),
-                chunk=chunk, quant=quant, stacked=stacked),
+                chunk=chunk, quant=quant, stacked=stacked, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(*prefetch, qg, k_pages, v_pages, *scale_args, *cur_args)
+    )(*prefetch, qg, k_pages, v_pages, *scale_args, *cur_args, *win_args)
     return out.reshape(B, 1, NH, HD)

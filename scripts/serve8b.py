@@ -38,7 +38,12 @@ def main():
     from llama3np_tpu.serving import BatchEngine
 
     capacity = 8
-    page_size = 32
+    # Page 64: one kernel DMA moves [KVH, page, HD] — 64 KB at page 64 vs
+    # 32 KB at page 32, and the measured realized bandwidth jumps 395 ->
+    # ~800 GB/s (streaming peak) because per-DMA issue cost stops dominating
+    # (scripts/probe_paged_chunk.py, round 4).  int8 sublane tile needs
+    # page >= 32; 64 satisfies it with margin.
+    page_size = 64
     quantum = 8
     args = preset("llama3-8b", quant="int8", fuse_matmuls=False,
                   kv_quant="int8")
@@ -72,17 +77,15 @@ def main():
                  for x in jax.tree.leaves(engine.params))
     bf16_kv = cache_nbytes(args.replace(kv_dtype="bfloat16"), 1)
     int8_kv = cache_nbytes(args, 1, quant="int8")
-    # Shared-budget pool: paging exists so capacity need NOT reserve the
-    # worst case per sequence (8 x 8K = 2049 pages = 4.43 GB; with XLA's
-    # in-loop double-buffer temp of the pool carry, that compile needs
-    # ~16.2 GB and the chip has 15.75 — measured OOM, 235 MB over).  The
-    # binding case is an interleaved decode DURING a chunked admission:
-    # weights 8.04 + pool + pool-carry temp + 1.07 GB temp admission row
-    # must fit.  1280 pages (40K tokens, 2.77 GB pool + 2.69 GB temp) leaves
-    # ~1 GB headroom there and still co-hosts this whole mixed workload
-    # (worst-case reservations ~911 pages); the admission backpressure
-    # queues anything a smaller budget can't co-host yet.
-    num_pages = 1280
+    # Pool sizing, round 4: the deferred-commit quantum scan keeps the pool
+    # loop-INVARIANT (models/llama.py ragged_decode_steps), so the 2 x
+    # 1.34 GB in-loop double-buffer temp of the old pool carry is gone and
+    # the worst case FITS: capacity 8 x 8K = 1025 pages at page 64 (4.43 GB
+    # + weights 8.04 + the 1.07 GB admission row temp = ~13.6 GB of 15.75).
+    # Every sequence's full-context reservation is now physically backed —
+    # the admission backpressure only queues above capacity, never above
+    # memory.
+    num_pages = 1040
     pool_bytes = num_pages * 2 * args.n_layers * args.kv_heads * page_size * (
         args.head_dim + 4)
     print(f"weights on device: {wbytes / 1e9:.2f} GB int8\n"

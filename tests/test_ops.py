@@ -171,3 +171,143 @@ def test_update_kv_cache(rng):
     assert_allclose(np.asarray(vc)[:, :, 5:8], v.transpose(0, 2, 1, 3), rtol=0, atol=0)
     assert np.asarray(kc)[:, :, :5].sum() == 0
     assert np.asarray(vc)[:, :, 8:].sum() == 0
+
+
+def _quantize_rows(x):
+    q, s = ops.quantize_kv_rows(jnp.asarray(x))
+    return np.asarray(q), np.asarray(s)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("win_count", [0, 2, 4])
+def test_ragged_window_attention_matches_committed(rng, quant, win_count):
+    """Deferred-commit window mode (models/llama.py quantum scans) must equal
+    attending a cache that already holds the window rows at their final
+    slots — for every in-flight count, fp32 and int8 pools."""
+    B, KVH, G, HD, M, Q = 3, 2, 2, 16, 24, 4
+    NH = KVH * G
+    q = jnp.asarray(rng.standard_normal((B, 1, NH, HD)), jnp.float32)
+    kc = rng.standard_normal((B, KVH, M, HD)).astype(np.float32)
+    vc = rng.standard_normal((B, KVH, M, HD)).astype(np.float32)
+    wk = rng.standard_normal((B, KVH, Q, HD)).astype(np.float32)
+    wv = rng.standard_normal((B, KVH, Q, HD)).astype(np.float32)
+    ck = rng.standard_normal((B, KVH, HD)).astype(np.float32)
+    cv = rng.standard_normal((B, KVH, HD)).astype(np.float32)
+    pos0 = np.array([0, 5, M - Q], np.int32)  # cache holds tokens < pos0
+
+    kw = dict(k_scale=None, v_scale=None, cur_ks=None, cur_vs=None,
+              win_ks=None, win_vs=None)
+    if quant:
+        kc, ks = _quantize_rows(kc)
+        vc, vs = _quantize_rows(vc)
+        wk, wks = _quantize_rows(wk)
+        wv, wvs = _quantize_rows(wv)
+        ck, cks = _quantize_rows(ck)
+        cv, cvs = _quantize_rows(cv)
+        kw = dict(k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+                  cur_ks=jnp.asarray(cks), cur_vs=jnp.asarray(cvs),
+                  win_ks=jnp.asarray(wks), win_vs=jnp.asarray(wvs))
+
+    got = ops.ragged_cache_attention(
+        q, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(pos0),
+        cur_k=jnp.asarray(ck), cur_v=jnp.asarray(cv),
+        win_k=jnp.asarray(wk), win_v=jnp.asarray(wv),
+        win_count=jnp.int32(win_count), **kw)
+
+    # Committed form: window columns < win_count written at pos0 + j.
+    kc2, vc2 = kc.copy(), vc.copy()
+    for b in range(B):
+        for j in range(win_count):
+            kc2[b, :, pos0[b] + j] = wk[b, :, j]
+            vc2[b, :, pos0[b] + j] = wv[b, :, j]
+    kw2 = dict(kw)
+    kw2.pop("win_ks"), kw2.pop("win_vs")
+    if quant:
+        ks2, vs2 = np.asarray(kw["k_scale"]).copy(), np.asarray(kw["v_scale"]).copy()
+        for b in range(B):
+            for j in range(win_count):
+                ks2[b, :, pos0[b] + j] = np.asarray(kw["win_ks"])[b, :, j]
+                vs2[b, :, pos0[b] + j] = np.asarray(kw["win_vs"])[b, :, j]
+        kw2["k_scale"], kw2["v_scale"] = jnp.asarray(ks2), jnp.asarray(vs2)
+    want = ops.ragged_cache_attention(
+        q, jnp.asarray(kc2), jnp.asarray(vc2),
+        jnp.asarray(pos0 + win_count),
+        cur_k=jnp.asarray(ck), cur_v=jnp.asarray(cv), **kw2)
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_commit_window_dense_matches_per_step(rng, quant):
+    """One post-scan window scatter == Q sequential per-step commits
+    (including an overrun row whose tail positions fall off the cache)."""
+    NL, B, KVH, M, HD, Q = 2, 3, 2, 16, 8, 4
+    pos0 = np.array([0, 5, M - 2], np.int32)  # row 2 overruns at step 2+
+    win = {"k": rng.standard_normal((NL, B, KVH, Q, HD)).astype(np.float32),
+           "v": rng.standard_normal((NL, B, KVH, Q, HD)).astype(np.float32)}
+    cache = {"k": jnp.asarray(rng.standard_normal((NL, B, KVH, M, HD)),
+                              jnp.float32),
+             "v": jnp.asarray(rng.standard_normal((NL, B, KVH, M, HD)),
+                              jnp.float32)}
+    if quant:
+        win["k_s"] = rng.standard_normal((NL, B, KVH, Q)).astype(np.float32)
+        win["v_s"] = rng.standard_normal((NL, B, KVH, Q)).astype(np.float32)
+        cache["k_s"] = jnp.asarray(
+            rng.standard_normal((NL, B, KVH, M)), jnp.float32)
+        cache["v_s"] = jnp.asarray(
+            rng.standard_normal((NL, B, KVH, M)), jnp.float32)
+
+    got = ops.commit_window_dense(
+        cache, jax.tree.map(jnp.asarray, win), jnp.asarray(pos0), Q)
+
+    want = dict(cache)
+    for s in range(Q):
+        extra = ((win["k_s"][:, :, :, s], win["v_s"][:, :, :, s])
+                 if quant else ())
+        want = ops.commit_decode_rows_dense(
+            want, jnp.asarray(win["k"][:, :, :, s]),
+            jnp.asarray(win["v"][:, :, :, s]),
+            jnp.asarray(pos0 + s), *map(jnp.asarray, extra))
+    for key in got:
+        assert_allclose(np.asarray(got[key]), np.asarray(want[key]),
+                        rtol=0, atol=0, err_msg=key)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_commit_window_paged_matches_per_step(rng, quant):
+    """Paged window commit == Q sequential paged commits through the block
+    table (overrun steps clamp into the row's last table entry)."""
+    NL, B, KVH, page, HD, Q, P, maxp = 2, 3, 2, 4, 8, 4, 11, 3
+    pos0 = np.array([0, 5, maxp * page - 2], np.int32)  # row 2 overruns
+    bt = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.int32)
+    win = {"k": rng.standard_normal((NL, B, KVH, Q, HD)).astype(np.float32),
+           "v": rng.standard_normal((NL, B, KVH, Q, HD)).astype(np.float32)}
+    cache = {"k": jnp.asarray(rng.standard_normal((NL, P, KVH, page, HD)),
+                              jnp.float32),
+             "v": jnp.asarray(rng.standard_normal((NL, P, KVH, page, HD)),
+                              jnp.float32)}
+    if quant:
+        win["k_s"] = rng.standard_normal((NL, B, KVH, Q)).astype(np.float32)
+        win["v_s"] = rng.standard_normal((NL, B, KVH, Q)).astype(np.float32)
+        cache["k_s"] = jnp.asarray(
+            rng.standard_normal((NL, P, KVH, page)), jnp.float32)
+        cache["v_s"] = jnp.asarray(
+            rng.standard_normal((NL, P, KVH, page)), jnp.float32)
+
+    got = ops.commit_window_paged(
+        cache, jax.tree.map(jnp.asarray, win), jnp.asarray(pos0),
+        jnp.asarray(bt), Q)
+
+    want = dict(cache)
+    for s in range(Q):
+        pos = pos0 + s
+        page_ids = bt[np.arange(B), np.minimum(pos // page, maxp - 1)]
+        extra = ((win["k_s"][:, :, :, s], win["v_s"][:, :, :, s])
+                 if quant else ())
+        want = ops.commit_decode_rows_paged(
+            want, jnp.asarray(win["k"][:, :, :, s]),
+            jnp.asarray(win["v"][:, :, :, s]),
+            jnp.asarray(page_ids), jnp.asarray(pos % page),
+            *map(jnp.asarray, extra))
+    for key in got:
+        assert_allclose(np.asarray(got[key]), np.asarray(want[key]),
+                        rtol=0, atol=0, err_msg=key)

@@ -276,3 +276,71 @@ def test_paged_attention_kernel_clamps_overrun_pos(rng):
     assert_allclose(np.asarray(got)[1], np.asarray(want)[1],
                     rtol=RTOL, atol=ATOL)
     assert np.isfinite(np.asarray(got)[0]).all()
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("win_count", [0, 1, 3])
+def test_paged_attention_kernel_window_mode(rng, quant, win_count):
+    """Deferred-commit window mode: kernel == XLA stacked oracle with the
+    same in-flight window, for every visible count, fp32 and int8 pools."""
+    from llama3np_tpu.ops import core as ops
+    from llama3np_tpu.ops.kernels.paged_attention import (
+        paged_attention as kernel)
+
+    NL, B, P, maxp = 2, 3, 17, 4
+    nh, kvh, hd, page, Q = 4, 2, 32, 8, 4
+    li = 1
+    q = jnp.asarray(rng.standard_normal((B, 1, nh, hd)), jnp.float32)
+    kp = rng.standard_normal((NL, P, kvh, page, hd)).astype(np.float32)
+    vp = rng.standard_normal((NL, P, kvh, page, hd)).astype(np.float32)
+    wk = rng.standard_normal((B, kvh, Q, hd)).astype(np.float32)
+    wv = rng.standard_normal((B, kvh, Q, hd)).astype(np.float32)
+    ck = rng.standard_normal((B, kvh, hd)).astype(np.float32)
+    cv = rng.standard_normal((B, kvh, hd)).astype(np.float32)
+    perm = rng.permutation(np.arange(1, P))[: B * maxp].reshape(B, maxp)
+    bt = np.ascontiguousarray(perm).astype(np.int32)
+    # pos is the DISPATCH-START position (pool holds < pos); row 0 has an
+    # empty pool — the window/current columns are all it attends.
+    pos = np.array([0, page + 3, maxp * page - Q], np.int32)
+    bt[0, :] = 0
+    bt[1, 2:] = 0
+
+    kw_k = dict(k_scale_rows=None, v_scale_rows=None, cur_ks=None,
+                cur_vs=None, win_ks=None, win_vs=None)
+    kw_o = dict(k_scale_pool=None, v_scale_pool=None, cur_ks=None,
+                cur_vs=None, win_ks=None, win_vs=None)
+    if quant:
+        def qz(x):
+            qv, s = ops.quantize_kv_rows(jnp.asarray(x))
+            return np.asarray(qv), np.asarray(s)
+        kp, kps = qz(kp)
+        vp, vps = qz(vp)
+        wk, wks = qz(wk)
+        wv, wvs = qz(wv)
+        ck, cks = qz(ck)
+        cv, cvs = qz(cv)
+        kw_k = dict(
+            k_scale_rows=ops.gather_page_scales_stacked(
+                jnp.asarray(kps), li, jnp.asarray(bt)),
+            v_scale_rows=ops.gather_page_scales_stacked(
+                jnp.asarray(vps), li, jnp.asarray(bt)),
+            cur_ks=jnp.asarray(cks), cur_vs=jnp.asarray(cvs),
+            win_ks=jnp.asarray(wks), win_vs=jnp.asarray(wvs))
+        kw_o = dict(k_scale_pool=jnp.asarray(kps),
+                    v_scale_pool=jnp.asarray(vps),
+                    cur_ks=jnp.asarray(cks), cur_vs=jnp.asarray(cvs),
+                    win_ks=jnp.asarray(wks), win_vs=jnp.asarray(wvs))
+
+    got = kernel(q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(bt),
+                 jnp.asarray(pos), layer=li,
+                 cur_k=jnp.asarray(ck), cur_v=jnp.asarray(cv),
+                 win_k=jnp.asarray(wk), win_v=jnp.asarray(wv),
+                 win_count=jnp.int32(win_count), interpret=True, **kw_k)
+    want = ops.paged_attention_stacked(
+        q, jnp.asarray(kp).astype(jnp.float32) if not quant else jnp.asarray(kp),
+        jnp.asarray(vp).astype(jnp.float32) if not quant else jnp.asarray(vp),
+        li, jnp.asarray(bt), jnp.asarray(pos),
+        cur_k=jnp.asarray(ck), cur_v=jnp.asarray(cv),
+        win_k=jnp.asarray(wk), win_v=jnp.asarray(wv),
+        win_count=jnp.int32(win_count), **kw_o)
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=RTOL, atol=ATOL)
