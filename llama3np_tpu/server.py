@@ -28,8 +28,20 @@ Endpoints:
                          logprobs needs an engine built with
                          BatchEngine(..., logprobs=K) (k <= K); responses
                          then carry per-token logprobs + top-k alternatives.
+  POST /v1/chat/completions
+                         {"messages": [{"role", "content"}, ...],
+                          "max_tokens", "temperature", "stream",
+                          "template": plain|llama2|chatml, "stop": [str]}
+                         -> chat.completion (or delta chunks).  Messages
+                         render through chat.render_chat; template stop
+                         STRINGS truncate host-side and cancel the request
+                         (multi-turn prefixes ride the prefix cache).
   GET  /health           liveness + occupancy.
   GET  /stats            engine counters (incl. prefix-cache stats).
+
+Disconnected streaming clients and stop-string hits CANCEL the request in
+the engine (BatchEngine.cancel) — abandoned streams free their slot and
+pages instead of decoding out their budget.
 
 Run:  python -m llama3np_tpu.server --preset test-tiny --synthetic --port 8000
 """
@@ -57,6 +69,7 @@ class _Pending:
         self.out: "queue.Queue" = queue.Queue()
         self.error: Optional[str] = None
         self.finish_reason: str = "length"
+        self.cancelled = False
 
 
 class EngineLoop:
@@ -66,6 +79,7 @@ class EngineLoop:
         self.be = batch_engine
         self.quantum = quantum
         self._subs: "queue.Queue[_Pending]" = queue.Queue()
+        self._cancels: "queue.Queue[_Pending]" = queue.Queue()
         self._tracked = {}  # Request -> (_Pending, n_sent)
         self._lock = threading.Lock()  # guards stats snapshot only
         self.served_requests = 0
@@ -83,6 +97,13 @@ class EngineLoop:
                      float(temperature), stop_ids, logprobs)
         self._subs.put(p)
         return p
+
+    def cancel(self, p: _Pending) -> None:
+        """Request-side abort (client disconnected, or a host-side stop
+        string hit): the engine thread frees the request's slot/pages at
+        its next iteration instead of decoding the rest of the budget."""
+        p.cancelled = True
+        self._cancels.put(p)
 
     def shutdown(self):
         self._stop.set()
@@ -102,6 +123,10 @@ class EngineLoop:
     # -- engine thread -------------------------------------------------------
 
     def _admit_one(self, p: _Pending):
+        if p.cancelled:
+            p.finish_reason = "cancelled"
+            p.out.put(_DONE)
+            return
         try:
             req = self.be.submit(p.prompt_ids, max_new_tokens=p.max_tokens,
                                  stop_ids=p.stop_ids,
@@ -144,8 +169,25 @@ class EngineLoop:
                 self.served_requests += 1
                 self.served_tokens += n_sent
 
+    def _drain_cancels(self):
+        try:
+            while True:
+                p = self._cancels.get_nowait()
+                for rid, state in list(self._tracked.items()):
+                    if state[1] is p:
+                        if self.be.cancel(state[0]):
+                            p.finish_reason = "cancelled"
+                        p.out.put(_DONE)
+                        self._tracked.pop(rid)
+                        break
+                # Not tracked: either finished already (DONE sent) or still
+                # in _subs — _admit_one sees p.cancelled and skips it.
+        except queue.Empty:
+            pass
+
     def _run(self):
         while not self._stop.is_set():
+            self._drain_cancels()
             # Admit everything waiting (engine applies its own backpressure).
             try:
                 while True:
@@ -204,16 +246,20 @@ class CompletionHandler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
 
     def do_POST(self):
-        if self.path not in ("/v1/completions", "/completions"):
-            self._json(404, {"error": "not found"})
-            return
         try:
             n = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(n) or b"{}")
         except (ValueError, json.JSONDecodeError):
             self._json(400, {"error": "invalid JSON body"})
             return
+        if self.path in ("/v1/completions", "/completions"):
+            self._completions(body)
+        elif self.path in ("/v1/chat/completions", "/chat/completions"):
+            self._chat_completions(body)
+        else:
+            self._json(404, {"error": "not found"})
 
+    def _completions(self, body):
         if "prompt_ids" in body:
             try:
                 prompt_ids = [int(t) for t in body["prompt_ids"]]
@@ -290,29 +336,152 @@ class CompletionHandler(BaseHTTPRequestHandler):
             self.wfile.flush()
 
         n = 0
+        try:
+            while True:
+                item = pend.out.get()
+                if item is _DONE:
+                    break
+                n += len(item["ids"])
+                choice = {"index": 0, "text": self._decode(item["ids"]),
+                          "token_ids": item["ids"]}
+                if "lps" in item:
+                    choice["logprobs"] = {"token_logprobs": item["lps"],
+                                          "top_logprobs": item["top"]}
+                chunk(json.dumps({
+                    "id": rid, "object": "text_completion.chunk",
+                    "choices": [choice]}))
+            if pend.error is not None:
+                chunk(json.dumps({"id": rid, "error": pend.error}))
+            chunk("[DONE]")
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            # Client went away mid-stream: free the slot instead of decoding
+            # the rest of the budget into a dead socket.
+            self.server.loop.cancel(pend)
+
+    # -- chat ------------------------------------------------------------------
+
+    def _chat_completions(self, body):
+        from .chat import render_chat, stop_strings
+        tok = self.server.tokenizer
+        if tok is None:
+            self._json(400, {"error": "chat requires a server tokenizer"})
+            return
+        template = body.get("template",
+                            getattr(self.server, "chat_template", "plain"))
+        try:
+            prompt = render_chat(body.get("messages", []), template)
+        except ValueError as e:
+            self._json(400, {"error": str(e)})
+            return
+        prompt_ids = tok.encode(prompt, add_bos=True)
+        max_tokens = int(body.get("max_tokens", 64))
+        temperature = float(body.get("temperature", 0.0))
+        stream = bool(body.get("stream", False))
+        stops = list(stop_strings(template) or [])
+        stop = body.get("stop")
+        if stop:
+            stops += [stop] if isinstance(stop, str) else list(map(str, stop))
+
+        loop = self.server.loop
+        pend = loop.submit(prompt_ids, max_tokens, temperature)
+        rid = f"chatcmpl-{int(time.time() * 1e3):x}-{id(pend) & 0xffff:x}"
+
+        if stream:
+            self._chat_stream(pend, rid, stops)
+            return
+        from .chat import truncate_at_stop
+        tokens: List[int] = []
         while True:
             item = pend.out.get()
             if item is _DONE:
                 break
-            n += len(item["ids"])
-            choice = {"index": 0, "text": self._decode(item["ids"]),
-                      "token_ids": item["ids"]}
-            if "lps" in item:
-                choice["logprobs"] = {"token_logprobs": item["lps"],
-                                      "top_logprobs": item["top"]}
-            chunk(json.dumps({
-                "id": rid, "object": "text_completion.chunk",
-                "choices": [choice]}))
+            tokens.extend(item["ids"])
         if pend.error is not None:
-            chunk(json.dumps({"id": rid, "error": pend.error}))
-        chunk("[DONE]")
-        self.wfile.write(b"0\r\n\r\n")
-        self.wfile.flush()
+            self._json(400, {"error": pend.error})
+            return
+        text = self._decode(tokens)
+        cut = truncate_at_stop(text, stops)
+        finish = "stop" if cut != text else pend.finish_reason
+        self._json(200, {
+            "id": rid, "object": "chat.completion",
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": cut},
+                         "finish_reason": finish}],
+            "usage": {"prompt_tokens": len(prompt_ids),
+                      "completion_tokens": len(tokens),
+                      "total_tokens": len(prompt_ids) + len(tokens)},
+        })
+
+    def _chat_stream(self, pend: _Pending, rid: str, stops: List[str]):
+        """SSE deltas with stop-string holdback: the last max(len(stop))-1
+        chars stay buffered so a stop string arriving across chunk
+        boundaries is never partially emitted; a hit truncates the stream
+        and cancels the request (the engine stops decoding its budget)."""
+        from .chat import truncate_at_stop
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(data: str):
+            payload = f"data: {data}\n\n".encode()
+            self.wfile.write(f"{len(payload):x}\r\n".encode()
+                             + payload + b"\r\n")
+            self.wfile.flush()
+
+        def delta_chunk(delta: dict, finish=None):
+            chunk(json.dumps({
+                "id": rid, "object": "chat.completion.chunk",
+                "choices": [{"index": 0, "delta": delta,
+                             "finish_reason": finish}]}))
+
+        hold = max((len(s) for s in stops), default=1) - 1
+        ids: List[int] = []
+        emitted = 0
+        hit = False
+        try:
+            delta_chunk({"role": "assistant"})
+            while True:
+                item = pend.out.get()
+                if item is _DONE:
+                    break
+                ids.extend(item["ids"])
+                text = self._decode(ids)
+                cut = truncate_at_stop(text, stops)
+                if len(cut) != len(text):
+                    if len(cut) > emitted:
+                        delta_chunk({"content": cut[emitted:]})
+                        emitted = len(cut)
+                    hit = True
+                    self.server.loop.cancel(pend)
+                    break
+                safe = max(len(text) - hold, emitted)
+                if safe > emitted:
+                    delta_chunk({"content": text[emitted:safe]})
+                    emitted = safe
+            if pend.error is not None:
+                chunk(json.dumps({"id": rid, "error": pend.error}))
+            else:
+                if not hit:  # flush the holdback tail
+                    cut = truncate_at_stop(self._decode(ids), stops)
+                    hit = len(cut) != len(self._decode(ids))
+                    if len(cut) > emitted:
+                        delta_chunk({"content": cut[emitted:]})
+                delta_chunk({}, finish="stop" if hit else pend.finish_reason)
+            chunk("[DONE]")
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            self.server.loop.cancel(pend)
 
 
 def serve(batch_engine, tokenizer=None, host: str = "127.0.0.1",
           port: int = 8000, quantum: int = 4,
-          verbose: bool = False) -> ThreadingHTTPServer:
+          verbose: bool = False,
+          chat_template: str = "plain") -> ThreadingHTTPServer:
     """Start the HTTP front-end; returns the (running) server.  The caller
     owns shutdown: ``srv.shutdown(); srv.loop.shutdown()``."""
     loop = EngineLoop(batch_engine, quantum=quantum)
@@ -320,6 +489,7 @@ def serve(batch_engine, tokenizer=None, host: str = "127.0.0.1",
     srv.loop = loop
     srv.tokenizer = tokenizer
     srv.verbose = verbose
+    srv.chat_template = chat_template
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="llama3np-http")
     srv._serve_thread = t
@@ -350,6 +520,9 @@ def main(argv=None) -> int:
     p.add_argument("--admit-chunk", type=int, default=None)
     p.add_argument("--logprobs", type=int, default=None, metavar="K",
                    help="enable per-token logprobs up to top-K")
+    p.add_argument("--chat-template", default="plain",
+                   choices=["plain", "llama2", "chatml"],
+                   help="default template for /v1/chat/completions")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -369,7 +542,7 @@ def main(argv=None) -> int:
                      logprobs=args.logprobs)
     tok = None if args.no_tokenizer else Tokenizer(args.tokenizer)
     srv = serve(be, tok, args.host, args.port, quantum=args.quantum,
-                verbose=args.verbose)
+                verbose=args.verbose, chat_template=args.chat_template)
     print(f"serving {args.preset} on http://{args.host}:{args.port} "
           f"(capacity {args.capacity}, quantum {args.quantum})", flush=True)
     try:

@@ -666,26 +666,58 @@ class BatchEngine:
                 if req.logprobs is not None and req.token_logprobs:
                     req.token_logprobs.pop()  # stay aligned with `generated`
                     req.top_logprobs.pop()
-            req.done = True
-            self.slots[req.slot] = None
-            self.temps[req.slot] = 0.0
-            if self.paged:
-                if self._registry is not None:
-                    # Cache the conversation (prompt + generated) so a
-                    # follow-up turn extending it reuses the whole history.
-                    # The last generated token's K/V may never have been
-                    # written (it was produced but not fed back), so only
-                    # the first L+G-1 positions are known-valid.
-                    n_valid = (len(req.prompt_ids) + len(req.generated) - 1)
-                    self._registry.register(req.text_ids[:n_valid],
-                                            self._pages[req.slot],
-                                            self.allocator)
-                self.allocator.free(self._pages[req.slot])
-                self._pages[req.slot] = []
-                self._future_pages[req.slot] = 0
-                self.block_tables[req.slot] = 0
+            self._release_slot(req)
             return True
         return False
+
+    def _release_slot(self, req: Request) -> None:
+        """Finish `req` and return its slot (and pages) to the engine."""
+        req.done = True
+        self.slots[req.slot] = None
+        self.temps[req.slot] = 0.0
+        if self.paged:
+            if self._registry is not None:
+                # Cache the conversation (prompt + generated) so a
+                # follow-up turn extending it reuses the whole history.
+                # The last generated token's K/V may never have been
+                # written (it was produced but not fed back), so only
+                # the first L+G-1 positions are known-valid.
+                n_valid = (len(req.prompt_ids) + len(req.generated) - 1)
+                self._registry.register(req.text_ids[:n_valid],
+                                        self._pages[req.slot],
+                                        self.allocator)
+            self.allocator.free(self._pages[req.slot])
+            self._pages[req.slot] = []
+            self._future_pages[req.slot] = 0
+            self.block_tables[req.slot] = 0
+
+    def cancel(self, req: Request) -> bool:
+        """Abort a queued or active request, freeing its slot and pages for
+        the next admission (the serving front-end calls this on client
+        disconnect and host-side stop-string hits, so an abandoned stream
+        stops burning device steps).
+
+        Must be called from the thread that owns the engine (the same
+        single-thread contract as step()/submit()).  Returns True if the
+        request was live and is now finished; False if it had already
+        finished.  A request mid-chunked-admission cannot be reached here:
+        admission runs synchronously inside submit()/step() on the owning
+        thread, so by the time the caller regains control, `admitting` is
+        False."""
+        if req.done:
+            return False
+        if req in self._queue:
+            self._queue.remove(req)
+            req.done = True
+            return True
+        if req.slot is None or self.slots[req.slot] is not req:
+            return False
+        if req.admitting:
+            raise RuntimeError("cancel during admission (engine thread "
+                               "re-entrancy) is not supported")
+        self._release_slot(req)
+        self._admit()  # the freed slot can seat a queued request now
+        return True
 
     @property
     def prefix_stats(self) -> Optional[dict]:
