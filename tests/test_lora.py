@@ -1,0 +1,138 @@
+"""LoRA fine-tuning (llama3np_tpu.lora): zero-init identity, low-rank vs
+merged-weight equivalence, frozen-base training, and deployment of a merged
+adapter through the inference engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llama3np_tpu import preset, synthetic_weights
+from llama3np_tpu.checkpoint import build_param_tree
+from llama3np_tpu.lora import (DEFAULT_TARGETS, forward_train_lora, init_lora,
+                               lora_loss, make_lora_train_step, merge_lora)
+from llama3np_tpu.models.llama import Llama, StaticConfig
+from llama3np_tpu.ops.core import rope_tables
+from llama3np_tpu.train import forward_train, init_optimizer
+
+ARGS = preset("test-tiny")
+CFG = StaticConfig.from_args(ARGS)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = build_param_tree(synthetic_weights(ARGS, seed=0), ARGS)
+    cos, sin = rope_tables(ARGS.head_dim, ARGS.max_seq_len, ARGS.rope_theta)
+    rng = np.random.default_rng(3)
+    batch = rng.integers(3, ARGS.vocab_size, size=(2, 17)).astype(np.int32)
+    return params, cos, sin, jnp.asarray(batch)
+
+
+def _randomize_b(lora, seed=7):
+    """Fresh adapters have B = 0; give them random non-zero factors so
+    equivalence tests exercise a real delta."""
+    key = jax.random.PRNGKey(seed)
+    ly = dict(lora["layers"])
+    for name, leaf in ly.items():
+        key, sub = jax.random.split(key)
+        ly[name] = jax.random.normal(sub, leaf.shape, leaf.dtype) * 0.05
+    return {**lora, "layers": ly}
+
+
+def test_zero_init_is_identity(setup):
+    params, cos, sin, batch = setup
+    lora = init_lora(ARGS, rank=4)
+    base = forward_train(params, batch, cos, sin, CFG)
+    adapted = forward_train_lora(params, lora["layers"], batch, cos, sin,
+                                 CFG, lora["alpha"] / lora["rank"])
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(adapted))
+
+
+@pytest.mark.parametrize("targets", [DEFAULT_TARGETS,
+                                     ("w_gate", "w_up", "w_down"),
+                                     ("wq", "w_down")])
+def test_lowrank_matches_merged(setup, targets):
+    """x@W + s*(x@A)@B (the train-time form) must equal x@(W + s*A@B)
+    (the merged deployment form) to float tolerance."""
+    params, cos, sin, batch = setup
+    lora = _randomize_b(init_lora(ARGS, rank=4, alpha=8.0, targets=targets))
+    adapted = forward_train_lora(params, lora["layers"], batch, cos, sin,
+                                 CFG, lora["alpha"] / lora["rank"])
+    merged = forward_train(merge_lora(params, lora), batch, cos, sin, CFG)
+    np.testing.assert_allclose(np.asarray(adapted), np.asarray(merged),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_train_step_learns_and_freezes_base(setup):
+    params, cos, sin, batch = setup
+    lora = init_lora(ARGS, rank=4, seed=1)
+    scale = lora["alpha"] / lora["rank"]
+    opt, opt_state = init_optimizer(lora["layers"], learning_rate=1e-2)
+    step = make_lora_train_step(opt, CFG, scale)
+    base_snapshot = jax.tree.map(np.asarray, params)
+    ly = lora["layers"]
+    losses = []
+    for _ in range(8):
+        ly, opt_state, loss = step(ly, opt_state, params, batch, cos, sin)
+        losses.append(float(loss))
+    # Overfitting one tiny batch must reduce the loss substantially.
+    assert losses[-1] < losses[0] - 0.1, losses
+    # The base is frozen: bitwise identical after training.
+    for a, b in zip(jax.tree.leaves(base_snapshot),
+                    jax.tree.leaves(jax.tree.map(np.asarray, params))):
+        np.testing.assert_array_equal(a, b)
+    # The adapters moved (B leaves are no longer zero).
+    assert float(jnp.abs(ly["wq_b"]).max()) > 0
+    # And the trained adapter's loss reproduces through the merged form
+    # (losses[-1] was computed PRE-update, so evaluate the final adapters
+    # fresh for the comparison).
+    final_loss = float(lora_loss(ly, params, batch, cos, sin, CFG, scale))
+    trained = {**lora, "layers": ly}
+    merged_loss = float(lora_loss(
+        jax.tree.map(jnp.zeros_like, ly), merge_lora(params, trained),
+        batch, cos, sin, CFG, scale))
+    np.testing.assert_allclose(merged_loss, final_loss, rtol=1e-3, atol=1e-3)
+
+
+def test_merged_adapter_serves(setup):
+    """A merged LoRA tree deploys through the standard engine: build a Llama
+    from the merged weights and greedy-generate."""
+    params, cos, sin, batch = setup
+    lora = _randomize_b(init_lora(ARGS, rank=4, alpha=8.0))
+    merged = merge_lora(params, lora)
+    # merge_lora returns a split-layout param TREE; deploy through engines
+    # built on the same layout (fuse_matmuls=False) and swap the tree in.
+    split_args = preset("test-tiny", fuse_matmuls=False)
+    eng_base = Llama(synthetic_weights(ARGS, seed=0), split_args)
+    eng = Llama(synthetic_weights(ARGS, seed=0), split_args)
+    eng.params = jax.tree.map(
+        lambda a, b: jnp.asarray(np.asarray(b), a.dtype)
+        if hasattr(a, "dtype") else b, eng.params, _repermute(merged))
+    prompt = np.asarray([[1, 17, 98, 45]], np.int32)
+    base_toks = np.asarray(eng_base.generate_tokens(prompt, 8))[0]
+    toks = np.asarray(eng.generate_tokens(prompt, 8))[0]
+    assert toks.shape == (8,)
+    # Non-zero adapters must actually change behavior vs the base stream
+    # (random factors at alpha/r=2 are far beyond greedy's stability margin).
+    assert not np.array_equal(toks, base_toks)
+
+
+def _repermute(tree):
+    """Engine params carry the rope-split column permutation
+    (checkpoint.permute_rope_layout); apply it to a freshly merged tree so
+    the assignment above compares like with like."""
+    from llama3np_tpu.checkpoint import permute_rope_layout
+    return permute_rope_layout({k: v for k, v in tree.items()}, ARGS)
+
+
+def test_bad_target_rejected():
+    with pytest.raises(ValueError, match="unknown LoRA targets"):
+        init_lora(ARGS, targets=("wq", "nope"))
+
+
+def test_merge_requires_split_layout(setup):
+    params, _, _, _ = setup
+    fused = dict(params)
+    fused["layers"] = {**params["layers"], "wqkv": jnp.zeros((1,))}
+    with pytest.raises(ValueError, match="split weight layout"):
+        merge_lora(fused, init_lora(ARGS))
