@@ -153,6 +153,44 @@ def make_lora_train_step(optimizer, cfg: StaticConfig, scale: float):
     return train_step
 
 
+def lora_pspecs(lora: Dict):
+    """PartitionSpec tree for lora["layers"] composing with the base TP
+    layout (parallel.sharding.param_pspecs):
+
+      * column-sharded weights (wq/wk/wv/w_gate/w_up — output axis over
+        "tp"): A replicates (its input axis matches the replicated
+        activations), B shards its OUTPUT columns over "tp" — the low-rank
+        delta lands pre-sharded exactly like the base matmul's output.
+      * row-sharded weights (wo/w_down — input axis over "tp"): A shards its
+        INPUT rows over "tp" (matching the tp-sharded activations entering
+        the base matmul), so x@A is a partitioned contraction whose psum
+        GSPMD merges with the base matmul's existing all-reduce; B
+        replicates.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    col = {"wq", "wk", "wv", "w_gate", "w_up"}
+    specs = {}
+    for t in lora["targets"]:
+        if t in col:
+            specs[f"{t}_a"] = P(None, None, None)
+            specs[f"{t}_b"] = P(None, None, "tp")
+        else:  # wo, w_down: row-sharded base
+            specs[f"{t}_a"] = P(None, "tp", None)
+            specs[f"{t}_b"] = P(None, None, None)
+    return specs
+
+
+def shard_lora(lora: Dict, mesh) -> Dict:
+    """device_put the adapter tree onto the mesh with lora_pspecs."""
+    from jax.sharding import NamedSharding
+
+    specs = lora_pspecs(lora)
+    layers = {name: jax.device_put(leaf, NamedSharding(mesh, specs[name]))
+              for name, leaf in lora["layers"].items()}
+    return {**lora, "layers": layers}
+
+
 def merge_lora(params: Dict, lora: Dict) -> Dict:
     """Fold adapters into a split-layout param tree: W <- W + scale * A@B.
     Returns a NEW tree (the frozen base is untouched) ready for any

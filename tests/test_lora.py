@@ -125,6 +125,45 @@ def _repermute(tree):
     return permute_rope_layout({k: v for k, v in tree.items()}, ARGS)
 
 
+def test_sharded_lora_train_matches_single_device(setup):
+    """dp x tp mesh: the sharded LoRA train step must reproduce the
+    single-device loss trajectory (GSPMD inserts the collectives; the
+    adapter pspecs compose with the base TP layout)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from llama3np_tpu.lora import shard_lora
+    from llama3np_tpu.parallel.sharding import make_mesh, shard_params
+
+    params, cos, sin, batch = setup
+    lora = init_lora(ARGS, rank=4, seed=1)
+    scale = lora["alpha"] / lora["rank"]
+    opt, st0 = init_optimizer(lora["layers"], learning_rate=1e-2)
+    step = make_lora_train_step(opt, CFG, scale)
+
+    # Single-device trajectory.
+    ly, st = lora["layers"], st0
+    ref_losses = []
+    for _ in range(3):
+        ly, st, loss = step(ly, st, params, batch, cos, sin)
+        ref_losses.append(float(loss))
+
+    mesh = make_mesh(2, 2)  # test-tiny: kv_heads=2, vocab 512 -> tp=2 ok
+    sp = shard_params(build_param_tree(synthetic_weights(ARGS, seed=0), ARGS),
+                      mesh, ARGS)
+    sl = shard_lora(init_lora(ARGS, rank=4, seed=1), mesh)
+    opt2, st2 = init_optimizer(sl["layers"], learning_rate=1e-2)
+    step2 = make_lora_train_step(opt2, CFG, scale)
+    sbatch = jax.device_put(batch, NamedSharding(mesh, P("dp", None)))
+    sly = sl["layers"]
+    for i in range(3):
+        sly, st2, loss = step2(sly, st2, sp, sbatch, cos, sin)
+        np.testing.assert_allclose(float(loss), ref_losses[i],
+                                   rtol=2e-4, atol=2e-4)
+    # Trained adapters agree across layouts.
+    for name in ("wq_b", "wo_a"):
+        np.testing.assert_allclose(np.asarray(sly[name]), np.asarray(ly[name]),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_bad_target_rejected():
     with pytest.raises(ValueError, match="unknown LoRA targets"):
         init_lora(ARGS, targets=("wq", "nope"))
