@@ -89,10 +89,12 @@ def _adapted(x, w, ll: Dict, t: str, scale: float, precision):
 
 
 def forward_train_lora(params: Dict, lora_layers: Dict, batch, cos, sin,
-                       cfg: StaticConfig, scale: float):
+                       cfg: StaticConfig, scale: float,
+                       remat: bool = False):
     """train.forward_train with LoRA deltas on the adapted projections.
     lora_layers: the stacked {t_a/t_b: [NL, ...]} dict (lora["layers"]);
-    scale: alpha / rank."""
+    scale: alpha / rank; remat recomputes layer activations in the backward
+    pass (see train.forward_train)."""
     B, L = batch.shape
     h = jnp.take(params["tok_embedding"], batch, axis=0)
     cos_l, sin_l = cos[:L], sin[:L]
@@ -118,6 +120,8 @@ def forward_train_lora(params: Dict, lora_layers: Dict, batch, cos, sin,
                          cfg.precision)
         return h, None
 
+    if remat:
+        step = jax.checkpoint(step)
     h, _ = jax.lax.scan(step, h, (params["layers"], lora_layers))
     h = ops.rms_norm(h, params["norm"], cfg.norm_eps)
     return jnp.dot(h, params["lm_head"], precision=cfg.precision,
@@ -125,18 +129,19 @@ def forward_train_lora(params: Dict, lora_layers: Dict, batch, cos, sin,
 
 
 def lora_loss(lora_layers: Dict, params: Dict, batch, cos, sin,
-              cfg: StaticConfig, scale: float):
+              cfg: StaticConfig, scale: float, remat: bool = False):
     """Next-token cross-entropy with adapters active (lora_layers FIRST so
     value_and_grad differentiates only the adapters)."""
     import optax
 
     logits = forward_train_lora(params, lora_layers, batch[:, :-1], cos, sin,
-                                cfg, scale)
+                                cfg, scale, remat=remat)
     return optax.softmax_cross_entropy_with_integer_labels(
         logits, batch[:, 1:]).mean()
 
 
-def make_lora_train_step(optimizer, cfg: StaticConfig, scale: float):
+def make_lora_train_step(optimizer, cfg: StaticConfig, scale: float,
+                         remat: bool = False):
     """Jitted (lora_layers, opt_state, params, batch, cos, sin) ->
     (lora_layers, opt_state, loss).  The base `params` is a frozen input —
     no gradients, no optimizer state, donated nothing."""
@@ -145,7 +150,7 @@ def make_lora_train_step(optimizer, cfg: StaticConfig, scale: float):
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
     def train_step(lora_layers, opt_state, params, batch, cos, sin):
         loss, grads = jax.value_and_grad(lora_loss)(
-            lora_layers, params, batch, cos, sin, cfg, scale)
+            lora_layers, params, batch, cos, sin, cfg, scale, remat)
         updates, opt_state = optimizer.update(grads, opt_state, lora_layers)
         lora_layers = optax.apply_updates(lora_layers, updates)
         return lora_layers, opt_state, loss
