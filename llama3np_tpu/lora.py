@@ -158,6 +158,29 @@ def make_lora_train_step(optimizer, cfg: StaticConfig, scale: float,
     return train_step
 
 
+def save_lora(lora: Dict, path: str) -> None:
+    """Persist an adapter tree as .npz (factors + rank/alpha/targets
+    metadata).  Adapters are tiny next to the base (rank-16 over an 8B base
+    is ~50 MB), so a plain savez round-trips in milliseconds."""
+    import numpy as np
+
+    arrays = {f"layers.{k}": np.asarray(v) for k, v in lora["layers"].items()}
+    np.savez(path, __rank__=lora["rank"], __alpha__=lora["alpha"],
+             __targets__=np.asarray(lora["targets"]), **arrays)
+
+
+def load_lora(path: str) -> Dict:
+    """Load a save_lora checkpoint back into an adapter tree."""
+    import numpy as np
+
+    z = np.load(path)
+    layers = {k[len("layers."):]: jnp.asarray(z[k])
+              for k in z.files if k.startswith("layers.")}
+    return {"layers": layers, "rank": int(z["__rank__"]),
+            "alpha": float(z["__alpha__"]),
+            "targets": tuple(str(t) for t in z["__targets__"])}
+
+
 def lora_pspecs(lora: Dict):
     """PartitionSpec tree for lora["layers"] composing with the base TP
     layout (parallel.sharding.param_pspecs):

@@ -164,6 +164,21 @@ def test_sharded_lora_train_matches_single_device(setup):
                                    rtol=2e-3, atol=2e-4)
 
 
+def test_save_load_roundtrip(tmp_path):
+    from llama3np_tpu.lora import load_lora, save_lora
+
+    lora = _randomize_b(init_lora(ARGS, rank=4, alpha=8.0,
+                                  targets=("wq", "w_down")))
+    p = str(tmp_path / "adapter.npz")
+    save_lora(lora, p)
+    back = load_lora(p)
+    assert back["rank"] == 4 and back["alpha"] == 8.0
+    assert back["targets"] == ("wq", "w_down")
+    for k, v in lora["layers"].items():
+        np.testing.assert_array_equal(np.asarray(back["layers"][k]),
+                                      np.asarray(v))
+
+
 def test_bad_target_rejected():
     with pytest.raises(ValueError, match="unknown LoRA targets"):
         init_lora(ARGS, targets=("wq", "nope"))
