@@ -38,6 +38,8 @@ Endpoints:
                          (multi-turn prefixes ride the prefix cache).
   GET  /health           liveness + occupancy.
   GET  /stats            engine counters (incl. prefix-cache stats).
+  GET  /metrics          the same counters in Prometheus text exposition
+                         (plus step-latency total/EMA from the engine loop).
 
 Disconnected streaming clients and stop-string hits CANCEL the request in
 the engine (BatchEngine.cancel) — abandoned streams free their slot and
@@ -84,6 +86,9 @@ class EngineLoop:
         self._lock = threading.Lock()  # guards stats snapshot only
         self.served_requests = 0
         self.served_tokens = 0
+        self.engine_steps = 0
+        self.step_seconds_total = 0.0
+        self.step_seconds_ema = 0.0  # ~32-step horizon
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="llama3np-engine")
@@ -114,7 +119,10 @@ class EngineLoop:
             s = {"active": self.be.num_active,
                  "engine_queue": len(self.be._queue),
                  "served_requests": self.served_requests,
-                 "served_tokens": self.served_tokens}
+                 "served_tokens": self.served_tokens,
+                 "engine_steps": self.engine_steps,
+                 "step_seconds_total": self.step_seconds_total,
+                 "step_seconds_ema": self.step_seconds_ema}
         px = self.be.prefix_stats
         if px is not None:
             s["prefix_cache"] = px
@@ -195,7 +203,15 @@ class EngineLoop:
             except queue.Empty:
                 pass
             if self.be.num_active or self.be._queue:
+                t0 = time.perf_counter()
                 self.be.step(quantum=self.quantum)
+                dt = time.perf_counter() - t0
+                with self._lock:
+                    self.engine_steps += 1
+                    self.step_seconds_total += dt
+                    self.step_seconds_ema = (
+                        dt if self.engine_steps == 1
+                        else 0.97 * self.step_seconds_ema + 0.03 * dt)
             # Unconditional: a request can finish AT admission (its first
             # prefill-produced token is a stop id — serving.py
             # _prefill_into's trailing _maybe_finish), leaving num_active
@@ -242,8 +258,44 @@ class CompletionHandler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok", **st})
         elif self.path == "/stats":
             self._json(200, self.server.loop.stats())
+        elif self.path == "/metrics":
+            self._metrics()
         else:
             self._json(404, {"error": "not found"})
+
+    def _metrics(self):
+        """Prometheus text exposition of the engine counters (the format
+        every scraper speaks; counters suffixed _total, gauges bare)."""
+        s = self.server.loop.stats()
+        px = s.pop("prefix_cache", None)
+        lines = [
+            "# TYPE llama3np_active_requests gauge",
+            f"llama3np_active_requests {s['active']}",
+            "# TYPE llama3np_queued_requests gauge",
+            f"llama3np_queued_requests {s['engine_queue']}",
+            "# TYPE llama3np_served_requests_total counter",
+            f"llama3np_served_requests_total {s['served_requests']}",
+            "# TYPE llama3np_served_tokens_total counter",
+            f"llama3np_served_tokens_total {s['served_tokens']}",
+            "# TYPE llama3np_engine_steps_total counter",
+            f"llama3np_engine_steps_total {s['engine_steps']}",
+            "# TYPE llama3np_step_seconds_total counter",
+            f"llama3np_step_seconds_total {s['step_seconds_total']:.6f}",
+            "# TYPE llama3np_step_seconds_ema gauge",
+            f"llama3np_step_seconds_ema {s['step_seconds_ema']:.6f}",
+        ]
+        if px is not None:
+            for k, v in px.items():
+                kind = "counter" if k != "entries" else "gauge"
+                suffix = "_total" if kind == "counter" else ""
+                lines.append(f"# TYPE llama3np_prefix_{k}{suffix} {kind}")
+                lines.append(f"llama3np_prefix_{k}{suffix} {v}")
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):
         try:

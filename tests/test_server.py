@@ -173,6 +173,29 @@ def test_health_and_stats(srv):
     assert stats["served_tokens"] >= 5
 
 
+def test_metrics_endpoint(srv):
+    _post(srv, "/v1/completions",
+          {"prompt_ids": [1, 8, 3], "max_tokens": 4, "stop_ids": []})
+    c = _conn(srv)
+    c.request("GET", "/metrics")
+    r = c.getresponse()
+    body = r.read().decode()
+    c.close()
+    assert r.status == 200
+    assert r.getheader("Content-Type").startswith("text/plain")
+    metrics = {}
+    for line in body.splitlines():
+        if line and not line.startswith("#"):
+            k, v = line.split()
+            metrics[k] = float(v)
+    assert metrics["llama3np_served_requests_total"] >= 1
+    assert metrics["llama3np_served_tokens_total"] >= 4
+    assert metrics["llama3np_engine_steps_total"] >= 1
+    assert metrics["llama3np_step_seconds_total"] > 0
+    assert metrics["llama3np_step_seconds_ema"] > 0
+    assert metrics["llama3np_active_requests"] == 0
+
+
 def test_text_prompt_with_tokenizer(engine, tmp_path):
     import os
 
