@@ -334,44 +334,60 @@ class CompletionHandler(BaseHTTPRequestHandler):
         stop_ids = tuple(body.get("stop_ids", (1, 2)))
         stream = bool(body.get("stream", False))
         echo = bool(body.get("echo", False))
+        n_choices = int(body.get("n", 1))
         logprobs = body.get("logprobs")
         if logprobs is not None:
             logprobs = int(logprobs)
+        if n_choices < 1:
+            self._json(400, {"error": "n must be >= 1"})
+            return
+        if stream and n_choices != 1:
+            self._json(400, {"error": "stream supports n=1 only"})
+            return
 
         loop = self.server.loop
-        pend = loop.submit(prompt_ids, max_tokens, temperature, stop_ids,
-                           logprobs)
-        rid = f"cmpl-{int(time.time() * 1e3):x}-{id(pend) & 0xffff:x}"
+        # n > 1: n independent engine requests decode as co-tenants of the
+        # same batch (each gets its own request id, so sampled streams
+        # differ by the per-request PRNG fold; greedy duplicates by design).
+        pends = [loop.submit(prompt_ids, max_tokens, temperature, stop_ids,
+                             logprobs) for _ in range(n_choices)]
+        rid = f"cmpl-{int(time.time() * 1e3):x}-{id(pends[0]) & 0xffff:x}"
 
         if stream:
-            self._stream_response(pend, rid)
+            self._stream_response(pends[0], rid)
             return
 
-        tokens: List[int] = []
-        lps: List[float] = []
-        top: List[list] = []
-        while True:
-            item = pend.out.get()
-            if item is _DONE:
-                break
-            tokens.extend(item["ids"])
+        choices = []
+        total_completion = 0
+        for i, pend in enumerate(pends):
+            tokens: List[int] = []
+            lps: List[float] = []
+            top: List[list] = []
+            while True:
+                item = pend.out.get()
+                if item is _DONE:
+                    break
+                tokens.extend(item["ids"])
+                if logprobs is not None:
+                    lps.extend(item.get("lps", ()))
+                    top.extend(item.get("top", ()))
+            if pend.error is not None:
+                self._json(400, {"error": pend.error})
+                return
+            text = self._decode((prompt_ids if echo else []) + tokens)
+            choice = {"index": i, "text": text, "token_ids": tokens,
+                      "finish_reason": pend.finish_reason}
             if logprobs is not None:
-                lps.extend(item.get("lps", ()))
-                top.extend(item.get("top", ()))
-        if pend.error is not None:
-            self._json(400, {"error": pend.error})
-            return
-        text = self._decode((prompt_ids if echo else []) + tokens)
-        choice = {"index": 0, "text": text, "token_ids": tokens,
-                  "finish_reason": pend.finish_reason}
-        if logprobs is not None:
-            choice["logprobs"] = {"token_logprobs": lps, "top_logprobs": top}
+                choice["logprobs"] = {"token_logprobs": lps,
+                                      "top_logprobs": top}
+            choices.append(choice)
+            total_completion += len(tokens)
         self._json(200, {
             "id": rid, "object": "text_completion",
-            "choices": [choice],
+            "choices": choices,
             "usage": {"prompt_tokens": len(prompt_ids),
-                      "completion_tokens": len(tokens),
-                      "total_tokens": len(prompt_ids) + len(tokens)},
+                      "completion_tokens": total_completion,
+                      "total_tokens": len(prompt_ids) + total_completion},
         })
 
     def _stream_response(self, pend: _Pending, rid: str):
@@ -436,34 +452,47 @@ class CompletionHandler(BaseHTTPRequestHandler):
         if stop:
             stops += [stop] if isinstance(stop, str) else list(map(str, stop))
 
+        n_choices = int(body.get("n", 1))
+        if n_choices < 1:
+            self._json(400, {"error": "n must be >= 1"})
+            return
+        if stream and n_choices != 1:
+            self._json(400, {"error": "stream supports n=1 only"})
+            return
         loop = self.server.loop
-        pend = loop.submit(prompt_ids, max_tokens, temperature)
-        rid = f"chatcmpl-{int(time.time() * 1e3):x}-{id(pend) & 0xffff:x}"
+        pends = [loop.submit(prompt_ids, max_tokens, temperature)
+                 for _ in range(n_choices)]
+        rid = f"chatcmpl-{int(time.time() * 1e3):x}-{id(pends[0]) & 0xffff:x}"
 
         if stream:
-            self._chat_stream(pend, rid, stops)
+            self._chat_stream(pends[0], rid, stops)
             return
         from .chat import truncate_at_stop
-        tokens: List[int] = []
-        while True:
-            item = pend.out.get()
-            if item is _DONE:
-                break
-            tokens.extend(item["ids"])
-        if pend.error is not None:
-            self._json(400, {"error": pend.error})
-            return
-        text = self._decode(tokens)
-        cut = truncate_at_stop(text, stops)
-        finish = "stop" if cut != text else pend.finish_reason
+        choices = []
+        total_completion = 0
+        for i, pend in enumerate(pends):
+            tokens: List[int] = []
+            while True:
+                item = pend.out.get()
+                if item is _DONE:
+                    break
+                tokens.extend(item["ids"])
+            if pend.error is not None:
+                self._json(400, {"error": pend.error})
+                return
+            text = self._decode(tokens)
+            cut = truncate_at_stop(text, stops)
+            finish = "stop" if cut != text else pend.finish_reason
+            choices.append({"index": i,
+                            "message": {"role": "assistant", "content": cut},
+                            "finish_reason": finish})
+            total_completion += len(tokens)
         self._json(200, {
             "id": rid, "object": "chat.completion",
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": cut},
-                         "finish_reason": finish}],
+            "choices": choices,
             "usage": {"prompt_tokens": len(prompt_ids),
-                      "completion_tokens": len(tokens),
-                      "total_tokens": len(prompt_ids) + len(tokens)},
+                      "completion_tokens": total_completion,
+                      "total_tokens": len(prompt_ids) + total_completion},
         })
 
     def _chat_stream(self, pend: _Pending, rid: str, stops: List[str]):

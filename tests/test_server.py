@@ -173,6 +173,34 @@ def test_health_and_stats(srv):
     assert stats["served_tokens"] >= 5
 
 
+def test_n_choices(srv):
+    prompt = [1, 9, 33, 7]
+    # Greedy n=3: identical choices (deterministic argmax), indices 0..2.
+    status, out = _post(srv, "/v1/completions",
+                        {"prompt_ids": prompt, "max_tokens": 6, "n": 3,
+                         "stop_ids": []})
+    assert status == 200
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    assert (out["choices"][0]["token_ids"] == out["choices"][1]["token_ids"]
+            == out["choices"][2]["token_ids"])
+    assert out["usage"]["completion_tokens"] == 18
+    # Sampled n=3: distinct request ids -> distinct streams (overwhelmingly).
+    status, out = _post(srv, "/v1/completions",
+                        {"prompt_ids": prompt, "max_tokens": 8, "n": 3,
+                         "temperature": 1.0, "stop_ids": []})
+    assert status == 200
+    streams = [tuple(c["token_ids"]) for c in out["choices"]]
+    assert len(set(streams)) > 1
+    # n > 1 with streaming is rejected.
+    status, out = _post(srv, "/v1/completions",
+                        {"prompt_ids": prompt, "max_tokens": 4, "n": 2,
+                         "stream": True})
+    assert status == 400 and "n=1" in out["error"]
+    status, out = _post(srv, "/v1/completions",
+                        {"prompt_ids": prompt, "max_tokens": 4, "n": 0})
+    assert status == 400
+
+
 def test_metrics_endpoint(srv):
     _post(srv, "/v1/completions",
           {"prompt_ids": [1, 8, 3], "max_tokens": 4, "stop_ids": []})
