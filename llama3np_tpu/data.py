@@ -80,16 +80,23 @@ class TokenDataset:
         if nw == 0:
             raise ValueError(
                 f"shard too small: {len(self)} tokens < seq_len+1")
-        if not drop_last and nw < batch_size:
-            raise ValueError("batch_size exceeds windows per epoch")
+        if nw < batch_size:
+            # Fail loudly: with drop_last=True an epoch would silently yield
+            # zero batches (epochs=None would busy-spin forever).
+            raise ValueError(
+                f"batch_size {batch_size} exceeds {nw} windows per epoch")
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.arange(nw)
             if shuffle:
                 np.random.default_rng((seed, epoch)).shuffle(order)
-            for start in range(0, nw - batch_size + 1, batch_size):
-                idx = order[start : start + batch_size]
-                batch = np.empty((batch_size, seq_len + 1), np.int32)
+            stops = range(batch_size, nw + 1, batch_size)
+            starts = [(s - batch_size, s) for s in stops]
+            if not drop_last and nw % batch_size:
+                starts.append((nw - nw % batch_size, nw))
+            for start, stop in starts:
+                idx = order[start:stop]
+                batch = np.empty((len(idx), seq_len + 1), np.int32)
                 for j, w in enumerate(idx):
                     batch[j] = self.tokens[w * seq_len : w * seq_len
                                            + seq_len + 1]

@@ -82,7 +82,7 @@ class EngineLoop:
         self.quantum = quantum
         self._subs: "queue.Queue[_Pending]" = queue.Queue()
         self._cancels: "queue.Queue[_Pending]" = queue.Queue()
-        self._tracked = {}  # Request -> (_Pending, n_sent)
+        self._tracked = {}  # request_id -> [Request, _Pending, n_sent]
         self._lock = threading.Lock()  # guards stats snapshot only
         self.served_requests = 0
         self.served_tokens = 0
@@ -187,6 +187,11 @@ class EngineLoop:
                             p.finish_reason = "cancelled"
                         p.out.put(_DONE)
                         self._tracked.pop(rid)
+                        # Tokens decoded before the cancel were served work;
+                        # keep the /metrics counters honest.
+                        with self._lock:
+                            self.served_requests += 1
+                            self.served_tokens += state[2]
                         break
                 # Not tracked: either finished already (DONE sent) or still
                 # in _subs — _admit_one sees p.cancelled and skips it.
@@ -372,6 +377,10 @@ class CompletionHandler(BaseHTTPRequestHandler):
                     lps.extend(item.get("lps", ()))
                     top.extend(item.get("top", ()))
             if pend.error is not None:
+                # Abandon the remaining choices in the engine too — otherwise
+                # they decode their full budget into queues nobody reads.
+                for later in pends[i + 1:]:
+                    loop.cancel(later)
                 self._json(400, {"error": pend.error})
                 return
             text = self._decode((prompt_ids if echo else []) + tokens)
@@ -478,6 +487,8 @@ class CompletionHandler(BaseHTTPRequestHandler):
                     break
                 tokens.extend(item["ids"])
             if pend.error is not None:
+                for later in pends[i + 1:]:
+                    loop.cancel(later)
                 self._json(400, {"error": pend.error})
                 return
             text = self._decode(tokens)

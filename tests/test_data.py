@@ -68,6 +68,34 @@ def test_window_coverage_and_shuffle(shard):
     assert s1 != s3 or len(s1) <= 1
 
 
+def test_small_shard_fails_loudly(shard):
+    """batch_size > windows must raise for BOTH drop_last settings — with
+    drop_last=True it used to yield zero batches per epoch, so epochs=None
+    busy-spun forever in the caller's next()."""
+    p, _ = shard
+    ds = TokenDataset(p)
+    nw = ds.num_windows(5)
+    for drop_last in (True, False):
+        with pytest.raises(ValueError, match="exceeds"):
+            next(ds.batches(nw + 1, 5, drop_last=drop_last))
+
+
+def test_drop_last_false_yields_partial_tail(shard):
+    p, _ = shard
+    ds = TokenDataset(p)
+    L = 5
+    nw = ds.num_windows(L)
+    B = 2
+    assert nw % B, "fixture must leave a partial tail for this test"
+    full = list(ds.batches(B, L, shuffle=False, epochs=1, drop_last=False))
+    dropped = list(ds.batches(B, L, shuffle=False, epochs=1, drop_last=True))
+    assert len(full) == len(dropped) + 1
+    assert full[-1].shape == (nw % B, L + 1)
+    # Every window appears exactly once per epoch.
+    flat = np.concatenate([b[:, :-1].reshape(-1) for b in full])
+    np.testing.assert_array_equal(flat, np.asarray(ds.tokens[: nw * L]))
+
+
 def test_epoch_streaming(shard):
     p, _ = shard
     ds = TokenDataset(p)
