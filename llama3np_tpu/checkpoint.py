@@ -410,6 +410,42 @@ def write_synthetic_checkpoint(path: str, args: ModelArgs, seed: int = 0) -> str
     return path
 
 
+def param_tree_to_weights(params: Dict, args: ModelArgs) -> Dict[str, np.ndarray]:
+    """Inverse of `build_param_tree`: unstack the trained pytree back into
+    the reference HF-schema flat mapping (so `train.py` output round-trips
+    through `save_npz` and boots any engine, incl. the NumPy oracle).
+
+    Requires the UNPERMUTED interleaved-RoPE layout (the layout training
+    uses; `permute_rope_layout` is an inference-load transform)."""
+    ly = {k: np.asarray(v) for k, v in params["layers"].items()}
+    if "wqkv" in ly or "wq_scale" in ly:
+        raise ValueError("fused or quantized trees cannot round-trip to the "
+                         "reference schema; export the fp32 split tree")
+    out = {
+        "model.embed_tokens.weight": np.asarray(params["tok_embedding"]),
+        "model.norm.weight": np.asarray(params["norm"]),
+        "lm_head.weight": np.ascontiguousarray(np.asarray(params["lm_head"]).T),
+    }
+    fmt = {
+        "wq": "model.layers.{i}.self_attn.q_proj.weight",
+        "wk": "model.layers.{i}.self_attn.k_proj.weight",
+        "wv": "model.layers.{i}.self_attn.v_proj.weight",
+        "wo": "model.layers.{i}.self_attn.o_proj.weight",
+        "w_gate": "model.layers.{i}.mlp.gate_proj.weight",
+        "w_up": "model.layers.{i}.mlp.up_proj.weight",
+        "w_down": "model.layers.{i}.mlp.down_proj.weight",
+    }
+    for name, f in fmt.items():
+        for i in range(args.n_layers):
+            out[f.format(i=i)] = np.ascontiguousarray(ly[name][i].T)
+    for name, f in (("attn_norm", "model.layers.{i}.input_layernorm.weight"),
+                    ("ffn_norm",
+                     "model.layers.{i}.post_attention_layernorm.weight")):
+        for i in range(args.n_layers):
+            out[f.format(i=i)] = ly[name][i]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Converters
 # ---------------------------------------------------------------------------

@@ -139,6 +139,29 @@ def cache_pspecs() -> Dict:
     }
 
 
+def serving_cache_pspecs(cache: Dict) -> Dict:
+    """PartitionSpecs for a BatchEngine cache (dense slots or page pool).
+
+    Both layouts are [NL, B-or-P, KVH, M-or-page, HD] with KVH at axis 2,
+    and the int8 scale leaves drop the trailing HD — so one rule covers all
+    four: shard KVH over "tp", replicate everything else.  The slot/page
+    axis deliberately does NOT shard over "dp": admissions scatter into a
+    single slot's rows and the block tables are host-side, so the engine's
+    unit of data parallelism is a whole engine replica, not a slot split
+    (each dp rank would otherwise pay a cross-device reshard per admission).
+    """
+    return {
+        name: P(None, None, "tp", *(None,) * (arr.ndim - 3))
+        for name, arr in cache.items()
+    }
+
+
+def shard_serving_cache(cache: Dict, mesh: Mesh) -> Dict:
+    specs = serving_cache_pspecs(cache)
+    return {name: jax.device_put(arr, NamedSharding(mesh, specs[name]))
+            for name, arr in cache.items()}
+
+
 def activation_pspec() -> P:
     return P("dp", None, None)
 

@@ -251,6 +251,14 @@ class BatchEngine:
             self._future_pages = np.zeros(capacity, np.int64)
         else:
             self.cache = init_cache(self.args, capacity, quant=kv_quant)
+        if getattr(engine, "mesh", None) is not None:
+            # Tensor-parallel serving: the pool (or dense slot cache) shards
+            # KV heads over "tp" like the attention weights, block tables
+            # stay host-side, and GSPMD propagates the layout through the
+            # jitted admission/decode programs (the engine's cfg already
+            # pins the pure-XLA paths — Pallas kernels are single-chip).
+            from .parallel.sharding import shard_serving_cache
+            self.cache = shard_serving_cache(self.cache, engine.mesh)
         from .prefix import PrefixRegistry
         self._registry = PrefixRegistry(page_size) if prefix_cache else None
         self.pos = np.zeros(capacity, np.int32)       # next write position

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""HTTP serving smoke on the real chip: the full server.py stack over the
+full-8B engine (VERDICT r4 weak #5 — every server test runs test-tiny on
+CPU; this validates the EngineLoop thread, SSE streaming, cancellation, and
+the /metrics step-latency EMA against hardware).
+
+Boots the cached int8 llama3-8b checkpoint (scripts/serve8b.py writes it),
+serves a few dozen concurrent completions (mixed stream/non-stream, one
+mid-stream client disconnect), and reports:
+
+  * per-request TTFT and completion wall,
+  * aggregate tok/s through the HTTP layer,
+  * /metrics step_seconds_ema vs the serve8b-measured step time,
+  * served counters before/after (cancel accounting).
+
+Run on the real chip:  python scripts/serve8b_http.py
+"""
+
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+PORT = 8734
+N_CLIENTS = 24
+BUDGET = 32
+
+
+def post(path, body, timeout=600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def client(i, rng, results):
+    n = int(rng.integers(64, 2000))
+    prompt_ids = rng.integers(10, 128000, size=n).tolist()
+    stream = i % 2 == 0
+    t0 = time.perf_counter()
+    if stream:
+        resp = post("/v1/completions", {"prompt_ids": prompt_ids,
+                                        "max_tokens": BUDGET,
+                                        "stop_ids": [], "stream": True})
+        ttft = None
+        toks = 0
+        cancel_at = BUDGET // 2 if i == 0 else None  # client 0 disconnects
+        for raw in resp:
+            line = raw.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            chunk = json.loads(line[6:])
+            if "choices" in chunk:
+                got = len(chunk["choices"][0].get("token_ids", ()))
+                if got and ttft is None:
+                    ttft = time.perf_counter() - t0
+                toks += got
+                if cancel_at and toks >= cancel_at:
+                    resp.close()  # mid-stream disconnect -> engine cancel
+                    results[i] = ("cancelled", ttft,
+                                  time.perf_counter() - t0, toks)
+                    return
+        results[i] = ("stream", ttft, time.perf_counter() - t0, toks)
+    else:
+        resp = post("/v1/completions", {"prompt_ids": prompt_ids,
+                                        "max_tokens": BUDGET,
+                                        "stop_ids": []})
+        body = json.loads(resp.read())
+        wall = time.perf_counter() - t0
+        results[i] = ("batch", wall, wall,
+                      len(body["choices"][0]["token_ids"]))
+
+
+def metrics():
+    txt = urllib.request.urlopen(
+        f"http://127.0.0.1:{PORT}/metrics").read().decode()
+    out = {}
+    for line in txt.splitlines():
+        if line.startswith("#"):
+            continue
+        k, v = line.rsplit(" ", 1)
+        out[k] = float(v)
+    return out
+
+
+def main():
+    import jax
+    from llama3np_tpu import preset
+    from llama3np_tpu.models.llama import Llama
+    from llama3np_tpu.server import serve
+    from llama3np_tpu.serving import BatchEngine
+
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+    args = preset("llama3-8b", quant="int8", fuse_matmuls=False,
+                  kv_quant="int8")
+    t0 = time.perf_counter()
+    engine = Llama.from_quantized("/tmp/llama3_8b_int8.npz", args)
+    print(f"boot {time.perf_counter() - t0:.0f}s", flush=True)
+    be = BatchEngine(engine, capacity=8, paged=True, page_size=64,
+                     num_pages=1040, kv_quant="int8", admit_chunk=512)
+    srv = serve(be, None, port=PORT, quantum=8)
+
+    # Warm the compile caches with one request before the measured burst.
+    rng = np.random.default_rng(3)
+    post("/v1/completions", {"prompt_ids": rng.integers(10, 128000, size=100)
+                             .tolist(), "max_tokens": 4, "stop_ids": []}).read()
+    m0 = metrics()
+
+    results = {}
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i, np.random
+                                                     .default_rng(100 + i),
+                                                     results))
+               for i in range(N_CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    m1 = metrics()
+
+    total = sum(r[3] for r in results.values())
+    ttfts = sorted(r[1] for r in results.values() if r[1] is not None)
+    walls = sorted(r[2] for r in results.values())
+    served = m1["llama3np_served_tokens_total"] - \
+        m0["llama3np_served_tokens_total"]
+    print(f"\n{N_CLIENTS} concurrent clients, {total} tokens in {wall:.1f}s "
+          f"-> {total / wall:,.0f} tok/s through HTTP", flush=True)
+    print(f"TTFT p50/p90: {ttfts[len(ttfts) // 2]:.2f}s / "
+          f"{ttfts[int(len(ttfts) * 0.9)]:.2f}s; completion p50 "
+          f"{walls[len(walls) // 2]:.2f}s", flush=True)
+    print(f"engine step EMA: {m1['llama3np_step_seconds_ema'] * 1e3:.1f} ms "
+          f"(quantum 8); served_tokens delta {served:.0f} "
+          f"(incl. cancelled client 0: {results[0]})", flush=True)
+    srv.shutdown()
+    srv.loop.shutdown()
+
+
+if __name__ == "__main__":
+    main()

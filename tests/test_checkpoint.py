@@ -221,3 +221,29 @@ def test_llama32_presets_smoke(name, rng):
     np.testing.assert_array_equal(
         np.asarray(eng.params["lm_head"]).T,
         weights["model.embed_tokens.weight"].astype(np.float32))
+
+
+def test_param_tree_to_weights_roundtrip(tiny_args, tiny_weights):
+    """The train-export path (scripts/train_confident.py): stacked pytree ->
+    HF-schema dict -> rebuilt pytree must be bit-identical, and the exported
+    dict must carry exactly the reference-schema keys."""
+    from llama3np_tpu.checkpoint import (build_param_tree,
+                                         param_tree_to_weights,
+                                         quantize_param_tree)
+
+    tree = build_param_tree(tiny_weights, tiny_args)
+    flat = param_tree_to_weights(tree, tiny_args)
+    assert set(flat) == {k for k in tiny_weights}
+    rebuilt = build_param_tree(flat, tiny_args)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax_flatten(tree)), sorted(jax_flatten(rebuilt))):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="quantized"):
+        param_tree_to_weights(quantize_param_tree(tree), tiny_args)
+
+
+def jax_flatten(tree):
+    import jax
+    return [("/".join(str(p) for p in path), leaf) for path, leaf
+            in jax.tree_util.tree_flatten_with_path(tree)[0]]
