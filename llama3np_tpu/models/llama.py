@@ -194,7 +194,7 @@ def forward(params: Dict, input_ids, pos, cache: Dict, cos, sin,
 def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                           cfg: StaticConfig, block_table=None,
                           pos0=None, win=None, win_count=None,
-                          commit=True):
+                          commit=True, scale_rows=None):
     """One decode step where every batch row sits at its own position.
 
     tokens: [B] int32; pos: [B] int32 (row b's token goes to slot pos[b] and
@@ -228,6 +228,12 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     number of valid window columns, and commit=False returns
     (logits, new_rows) with new_rows = (k, v[, k_s, v_s]) each
     [NL, B, KVH, ...] for the caller to insert into the window.
+
+    scale_rows (paged int8 quantum scans): the pre-gathered
+    (k_rows, v_rows) [NL, B, KVH, maxp*page] from
+    ops.gather_page_scales_all — the pool scales are frozen for the whole
+    quantum, so the caller hoists the gather out of the scan and each
+    layer takes its slice here instead of re-gathering.
     """
     B = tokens.shape[0]
     quant = "k_s" in cache
@@ -303,7 +309,12 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                     cfg.paged_kernel == 1
                     and pk.supports(cfg.head_dim, kc_all.shape[3], kv_dt)):
                 kr = vr = None
-                if quant:
+                if quant and scale_rows is not None:
+                    kr = jax.lax.dynamic_index_in_dim(scale_rows[0], li, 0,
+                                                      keepdims=False)
+                    vr = jax.lax.dynamic_index_in_dim(scale_rows[1], li, 0,
+                                                      keepdims=False)
+                elif quant:
                     kr = ops.gather_page_scales_stacked(ks_all, li,
                                                         block_table)
                     vr = ops.gather_page_scales_stacked(vs_all, li,
@@ -317,12 +328,18 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                           win_vs=wvs, win_count=win_count,
                                           interpret=cfg.paged_kernel == 2)
             else:
+                srows = {}
+                if quant and scale_rows is not None:
+                    srows = {"k_scale_rows": jax.lax.dynamic_index_in_dim(
+                                 scale_rows[0], li, 0, keepdims=False),
+                             "v_scale_rows": jax.lax.dynamic_index_in_dim(
+                                 scale_rows[1], li, 0, keepdims=False)}
                 attn = ops.paged_attention_stacked(
                     q, kc_all, vc_all, li, block_table, pos0,
                     precision=cfg.precision, k_scale_pool=ks_all,
                     v_scale_pool=vs_all, cur_k=cur_k, cur_v=cur_v,
                     cur_ks=cur_ks, cur_vs=cur_vs, win_k=wk, win_v=wv,
-                    win_ks=wks, win_vs=wvs, win_count=win_count)
+                    win_ks=wks, win_vs=wvs, win_count=win_count, **srows)
         else:
             ck = jax.lax.dynamic_index_in_dim(kc_all, li, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(vc_all, li, 0, keepdims=False)
@@ -463,6 +480,16 @@ def commit_window(cache: Dict, win: Dict, pos0, block_table,
     return ops.commit_window_dense(cache, win, pos0, num_steps)
 
 
+def _hoist_scale_rows(cache: Dict, block_table):
+    """Pre-gather all layers' int8 pool scales for a quantum scan (the pool
+    is frozen for the whole quantum) — one [NL, B, KVH, maxp*page] gather per
+    dispatch instead of quantum x NL re-gathers inside the scan."""
+    if block_table is None or "k_s" not in cache:
+        return None
+    return (ops.gather_page_scales_all(cache["k_s"], block_table),
+            ops.gather_page_scales_all(cache["v_s"], block_table))
+
+
 def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
                         cfg: StaticConfig, num_steps: int, block_table=None,
                         num_logprobs: Optional[int] = None):
@@ -483,12 +510,14 @@ def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
     positions pos .. pos + num_steps - 1.
     """
     pos0 = pos
+    scale_rows = _hoist_scale_rows(cache, block_table)
 
     def step(carry, s):
         tok, win = carry
         logits, rows = forward_ragged_decode(
             params, tok, pos0 + s, cache, cos, sin, cfg, block_table,
-            pos0=pos0, win=win, win_count=s, commit=False)
+            pos0=pos0, win=win, win_count=s, commit=False,
+            scale_rows=scale_rows)
         win = insert_window_rows(win, rows, s)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if num_logprobs is None:
@@ -521,12 +550,14 @@ def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
     ragged_decode_steps (logprobs of the *sampled* token under the raw
     distribution).  Deferred-commit like ragged_decode_steps."""
     pos0 = pos
+    scale_rows = _hoist_scale_rows(cache, block_table)
 
     def step(carry, s):
         tok, win = carry
         logits, rows = forward_ragged_decode(
             params, tok, pos0 + s, cache, cos, sin, cfg, block_table,
-            pos0=pos0, win=win, win_count=s, commit=False)
+            pos0=pos0, win=win, win_count=s, commit=False,
+            scale_rows=scale_rows)
         win = insert_window_rows(win, rows, s)
         keys = fold_row_keys(base_key, rids, ctrs + s)
         nxt = sample_rows(logits, keys, temps, top_k, top_p)

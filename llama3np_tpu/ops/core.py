@@ -604,7 +604,8 @@ def paged_attention_stacked(q: jax.Array, k_pools: jax.Array,
                             cur_k=None, cur_v=None,
                             cur_ks=None, cur_vs=None,
                             win_k=None, win_v=None, win_ks=None,
-                            win_vs=None, win_count=None) -> jax.Array:
+                            win_vs=None, win_count=None,
+                            k_scale_rows=None, v_scale_rows=None) -> jax.Array:
     """XLA paged decode attention reading layer `li` of the STACKED pools.
 
     k_pools/v_pools: [NL, P, KVH, page, HD] — the whole-model pool stays a
@@ -621,8 +622,8 @@ def paged_attention_stacked(q: jax.Array, k_pools: jax.Array,
     vg = v_pools[li, block_table]
     k_t = kg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
     v_t = vg.transpose(0, 2, 1, 3, 4).reshape(B, kvh, maxp * page, hd)
-    ks = vs = None
-    if k_scale_pool is not None:
+    ks, vs = k_scale_rows, v_scale_rows  # pre-hoisted rows (quantum scans)
+    if k_scale_pool is not None and ks is None:
         ks = gather_page_scales_stacked(k_scale_pool, li, block_table)
         vs = gather_page_scales_stacked(v_scale_pool, li, block_table)
     return ragged_cache_attention(q, k_t, v_t, pos, precision=precision,
@@ -643,6 +644,51 @@ def gather_page_scales_stacked(scale_pools: jax.Array, li,
     return g.transpose(0, 2, 1, 3).reshape(B, kvh, maxp * page)
 
 
+def gather_page_scales_all(scale_pools: jax.Array, block_table: jax.Array):
+    """ALL layers of stacked scale pools [NL, P, KVH, page] -> dense rows
+    [NL, B, KVH, maxp*page] in one gather.
+
+    The deferred-commit quantum scan's hoist: within a quantum the pool (and
+    its scales) is frozen, so the per-(layer, quantum-step) re-gather that
+    gather_page_scales_stacked would do inside the scan — quantum x NL
+    gathers of the same bytes — collapses to this single pre-scan gather;
+    the scan body then takes layer li's rows with a free dynamic slice.
+
+    The layer axis folds into the gather index ([NL*P, ...] view) — an
+    unindexed leading NL makes XLA:TPU relayout the scale pool around the
+    gather (the _commit_rows_flat layout rule, gather form)."""
+    nl, P, kvh, page = scale_pools.shape
+    B, maxp = block_table.shape
+    idx = jnp.arange(nl)[:, None, None] * P + block_table  # [NL, B, maxp]
+    g = scale_pools.reshape(nl * P, kvh, page)[idx]  # [NL, B, maxp, KVH, page]
+    return g.transpose(0, 1, 3, 2, 4).reshape(nl, B, kvh, maxp * page)
+
+
+def _commit_rows_flat(pool: jax.Array, flat, vals, tail_ndim: int):
+    """Scatter `vals` [NL, N, *tail] into `pool` [NL, *dims, *tail] at the
+    per-layer flattened row indices `flat` [N] (linear over prod(dims)).
+
+    THE layout lesson of the serving commit paths (AOT-confirmed at full-8B
+    shapes): a scatter with any pool axis left as a "window" dim — advanced
+    indices on separated axes (.at[:, p, :, o]) or even a leading unindexed
+    NL — makes XLA:TPU relayout the whole pool around the scatter, i.e. two
+    pool-sized copies (~6.6 ms each for a 2.2 GB pool) per dispatch.
+    Folding every batch-like axis into ONE linear row index leaves only the
+    already-minor tail as the window, the flattened view is a bitcast of
+    the native layout, and the scatter updates the donated pool in place.
+
+    Out-of-range `flat` entries must be pre-mapped to >= rows_per_layer *
+    n_layers by the caller (XLA drops OOB scatter indices; an unguarded
+    overflow would wrap into the next layer's rows)."""
+    nl = pool.shape[0]
+    tail = pool.shape[pool.ndim - tail_ndim:] if tail_ndim else ()
+    rows_per_layer = math.prod(pool.shape[1:pool.ndim - tail_ndim])
+    idx = (jnp.arange(nl)[:, None] * rows_per_layer
+           + flat[None, :]).reshape(-1)
+    return pool.reshape(nl * rows_per_layer, *tail).at[idx].set(
+        vals.reshape(idx.shape[0], *tail)).reshape(pool.shape)
+
+
 def commit_decode_rows_paged(cache: Dict, k_rows: jax.Array,
                              v_rows: jax.Array, page_ids: jax.Array,
                              offsets: jax.Array, ks_rows=None,
@@ -651,19 +697,19 @@ def commit_decode_rows_paged(cache: Dict, k_rows: jax.Array,
     scatter: rows [NL, B, KVH, HD] (pool dtype) land at
     (layer, page_ids[b], :, offsets[b]).  The single write point the
     restructured serving step uses after its layer scan — the pool input is
-    donated by the caller, so this is an in-place update, not a copy.
+    donated by the caller, so this is an in-place update, not a copy
+    (_commit_rows_flat keeps it layout-neutral).
     int8 pools also commit scale rows [NL, B, KVH]."""
-    # Advanced indices at axes 1 and 3 (separated by a slice) move the
-    # broadcast [B] axis to the front: the set value is [B, NL, KVH, ...].
-    new = {"k": cache["k"].at[:, page_ids, :, offsets].set(
-               k_rows.astype(cache["k"].dtype).transpose(1, 0, 2, 3)),
-           "v": cache["v"].at[:, page_ids, :, offsets].set(
-               v_rows.astype(cache["v"].dtype).transpose(1, 0, 2, 3))}
+    kvh, page = cache["k"].shape[2], cache["k"].shape[3]
+    flat = ((page_ids[:, None] * kvh + jnp.arange(kvh)) * page
+            + offsets[:, None]).reshape(-1)          # [B*KVH]
+    new = {"k": _commit_rows_flat(cache["k"],
+                                  flat, k_rows.astype(cache["k"].dtype), 1),
+           "v": _commit_rows_flat(cache["v"],
+                                  flat, v_rows.astype(cache["v"].dtype), 1)}
     if ks_rows is not None:
-        new["k_s"] = cache["k_s"].at[:, page_ids, :, offsets].set(
-            ks_rows.transpose(1, 0, 2))
-        new["v_s"] = cache["v_s"].at[:, page_ids, :, offsets].set(
-            vs_rows.transpose(1, 0, 2))
+        new["k_s"] = _commit_rows_flat(cache["k_s"], flat, ks_rows, 0)
+        new["v_s"] = _commit_rows_flat(cache["v_s"], flat, vs_rows, 0)
     return new
 
 
@@ -681,21 +727,26 @@ def commit_window_paged(cache: Dict, win: Dict, pos0: jax.Array,
     entry exactly like the per-step form (duplicate-slot writes there are
     unordered, but those slots are never attended before being rewritten at
     the slot's next admission)."""
-    page = cache["k"].shape[3]
+    nl, P, kvh, page, hd = cache["k"].shape
     maxp = block_table.shape[1]
     steps = pos0[:, None] + jnp.arange(num_steps, dtype=pos0.dtype)  # [B, Q]
     pidx = jnp.take_along_axis(block_table,
                                jnp.minimum(steps // page, maxp - 1), axis=1)
     offs = steps % page
-    new = {"k": cache["k"].at[:, pidx, :, offs].set(
-               win["k"].transpose(1, 3, 0, 2, 4)),
-           "v": cache["v"].at[:, pidx, :, offs].set(
-               win["v"].transpose(1, 3, 0, 2, 4))}
+    # Layout-neutral flat-row scatter (see _commit_rows_flat).
+    flat = ((pidx[..., None] * kvh + jnp.arange(kvh)) * page
+            + offs[..., None]).reshape(-1)          # [B*Q*KVH]
+
+    def commit(pool, rows, tail_ndim):
+        # rows [NL, B, KVH, Q, *tail] -> [NL, B, Q, KVH, *tail] (flat order)
+        return _commit_rows_flat(pool, flat, jnp.moveaxis(rows, 3, 2),
+                                 tail_ndim)
+
+    new = {"k": commit(cache["k"], win["k"], 1),
+           "v": commit(cache["v"], win["v"], 1)}
     if "k_s" in win:
-        new["k_s"] = cache["k_s"].at[:, pidx, :, offs].set(
-            win["k_s"].transpose(1, 3, 0, 2))
-        new["v_s"] = cache["v_s"].at[:, pidx, :, offs].set(
-            win["v_s"].transpose(1, 3, 0, 2))
+        new["k_s"] = commit(cache["k_s"], win["k_s"], 0)
+        new["v_s"] = commit(cache["v_s"], win["v_s"], 0)
     return new
 
 
@@ -705,18 +756,25 @@ def commit_window_dense(cache: Dict, win: Dict, pos0: jax.Array,
     row b lands at (layer, b, :, pos0[b] + s) of the [NL, B, KVH, M, HD]
     cache in one scatter (out-of-range overrun positions are dropped by the
     scatter, matching the per-step form's behavior)."""
-    B = pos0.shape[0]
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, num_steps))
-    steps = pos0[:, None] + jnp.arange(num_steps, dtype=pos0.dtype)
-    new = {"k": cache["k"].at[:, rows, :, steps].set(
-               win["k"].transpose(1, 3, 0, 2, 4)),
-           "v": cache["v"].at[:, rows, :, steps].set(
-               win["v"].transpose(1, 3, 0, 2, 4))}
+    nl, B, kvh, M, _ = cache["k"].shape
+    steps = pos0[:, None] + jnp.arange(num_steps, dtype=pos0.dtype)  # [B, Q]
+    # Layout-neutral flat-row scatter (see _commit_rows_flat); out-of-range
+    # overrun positions map past every layer's rows so XLA drops them
+    # (matching the old multi-axis scatter's OOB-drop semantics).
+    flat = ((jnp.arange(B)[:, None, None] * kvh + jnp.arange(kvh)) * M
+            + steps[:, :, None])                    # [B, Q, KVH]
+    flat = jnp.where(steps[:, :, None] < M, flat, nl * B * kvh * M)
+    flat = flat.reshape(-1)
+
+    def commit(pool, rows, tail_ndim):
+        return _commit_rows_flat(pool, flat, jnp.moveaxis(rows, 3, 2),
+                                 tail_ndim)
+
+    new = {"k": commit(cache["k"], win["k"], 1),
+           "v": commit(cache["v"], win["v"], 1)}
     if "k_s" in win:
-        new["k_s"] = cache["k_s"].at[:, rows, :, steps].set(
-            win["k_s"].transpose(1, 3, 0, 2))
-        new["v_s"] = cache["v_s"].at[:, rows, :, steps].set(
-            win["v_s"].transpose(1, 3, 0, 2))
+        new["k_s"] = commit(cache["k_s"], win["k_s"], 0)
+        new["v_s"] = commit(cache["v_s"], win["v_s"], 0)
     return new
 
 
@@ -725,16 +783,17 @@ def commit_decode_rows_dense(cache: Dict, k_rows: jax.Array,
                              ks_rows=None, vs_rows=None) -> Dict:
     """Dense-cache counterpart of commit_decode_rows_paged: rows
     [NL, B, KVH, HD] land at (layer, b, :, pos[b]) of the
-    [NL, B, KVH, M, HD] cache in one scatter."""
-    B = pos.shape[0]
-    rows = jnp.arange(B)
-    new = {"k": cache["k"].at[:, rows, :, pos].set(
-               k_rows.astype(cache["k"].dtype).transpose(1, 0, 2, 3)),
-           "v": cache["v"].at[:, rows, :, pos].set(
-               v_rows.astype(cache["v"].dtype).transpose(1, 0, 2, 3))}
+    [NL, B, KVH, M, HD] cache in one layout-neutral scatter
+    (_commit_rows_flat; OOB positions dropped as before)."""
+    nl, B, kvh, M, _ = cache["k"].shape
+    flat = ((jnp.arange(B)[:, None] * kvh + jnp.arange(kvh)) * M
+            + pos[:, None])                          # [B, KVH]
+    flat = jnp.where(pos[:, None] < M, flat, nl * B * kvh * M).reshape(-1)
+    new = {"k": _commit_rows_flat(cache["k"], flat,
+                                  k_rows.astype(cache["k"].dtype), 1),
+           "v": _commit_rows_flat(cache["v"], flat,
+                                  v_rows.astype(cache["v"].dtype), 1)}
     if ks_rows is not None:
-        new["k_s"] = cache["k_s"].at[:, rows, :, pos].set(
-            ks_rows.transpose(1, 0, 2))
-        new["v_s"] = cache["v_s"].at[:, rows, :, pos].set(
-            vs_rows.transpose(1, 0, 2))
+        new["k_s"] = _commit_rows_flat(cache["k_s"], flat, ks_rows, 0)
+        new["v_s"] = _commit_rows_flat(cache["v_s"], flat, vs_rows, 0)
     return new

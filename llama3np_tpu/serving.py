@@ -70,27 +70,31 @@ def admission_prefill_dense(params, padded, true_len, slot, cache, cos, sin,
 def scatter_row_paged(row, page_idx, cache):
     """Scatter a request's [NL, 1, KVH, M, HD] row cache into the page pool
     at `page_idx` ([max_pages] int32, unused entries -> null page 0).  int8
-    pools ("k_s" present) quantize here — the single write point."""
+    pools ("k_s" present) quantize here — the single write point.
+
+    The page index folds the layer axis in (idx over a [NL*P, ...] view):
+    leaving NL as a leading scatter window dim makes XLA:TPU relayout the
+    whole pool around the scatter — two pool-sized copies per ADMISSION at
+    full-8B shapes (the same layout rule as ops.core._commit_rows_flat)."""
     nl, _, kvh, page, hd = cache["k"].shape
     n_pages = page_idx.shape[0]
+    P = cache["k"].shape[1]
+    idx = (jnp.arange(nl)[:, None] * P + page_idx[None, :]).reshape(-1)
 
-    def rows(c):  # [NL, 1, KVH, M, HD] -> [NL, n_pages, KVH, page, HD]
-        r = c[:, 0].reshape(nl, kvh, n_pages, page, hd)
-        return r.transpose(0, 2, 1, 3, 4)
-
-    def scale_rows(s):  # [NL, 1, KVH, M] -> [NL, n_pages, KVH, page]
-        return s[:, 0].reshape(nl, kvh, n_pages, page).transpose(0, 2, 1, 3)
+    def put(pool, c):  # c: [NL, 1, KVH, n*page, *tail] row-cache layout
+        tail = pool.shape[4:]
+        r = c[:, 0].reshape(nl, kvh, n_pages, page, *tail)
+        r = jnp.moveaxis(r, 1, 2)  # [NL, n_pages, KVH, page, *tail]
+        return pool.reshape(nl * P, kvh, page, *tail).at[idx].set(
+            r.reshape(nl * n_pages, kvh, page, *tail)).reshape(pool.shape)
 
     if "k_s" in cache:
         from .ops.core import quantize_kv_rows
         k8, ksr = quantize_kv_rows(row["k"])
         v8, vsr = quantize_kv_rows(row["v"])
-        return {"k": cache["k"].at[:, page_idx].set(rows(k8)),
-                "v": cache["v"].at[:, page_idx].set(rows(v8)),
-                "k_s": cache["k_s"].at[:, page_idx].set(scale_rows(ksr)),
-                "v_s": cache["v_s"].at[:, page_idx].set(scale_rows(vsr))}
-    return {"k": cache["k"].at[:, page_idx].set(rows(row["k"])),
-            "v": cache["v"].at[:, page_idx].set(rows(row["v"]))}
+        return {"k": put(cache["k"], k8), "v": put(cache["v"], v8),
+                "k_s": put(cache["k_s"], ksr), "v_s": put(cache["v_s"], vsr)}
+    return {"k": put(cache["k"], row["k"]), "v": put(cache["v"], row["v"])}
 
 
 def admission_prefill_paged(params, padded, true_len, page_idx, cache,

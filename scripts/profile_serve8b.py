@@ -30,8 +30,8 @@ def main():
                   kv_quant="int8")
     ckpt = "/tmp/llama3_8b_int8.npz"
     engine = Llama.from_quantized(ckpt, args)
-    be = BatchEngine(engine, capacity=8, paged=True, page_size=32,
-                     num_pages=1280, kv_quant="int8", admit_chunk=512)
+    be = BatchEngine(engine, capacity=8, paged=True, page_size=64,
+                     num_pages=1040, kv_quant="int8", admit_chunk=512)
     rng = np.random.default_rng(7)
     for i in range(8):
         be.submit(rng.integers(10, args.vocab_size,

@@ -35,15 +35,21 @@ def profile_steps(be, quantum, trace_dir):
     f = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(f) as fh:
         tr = json.load(fh)
-    names = {}
+    names, procs = {}, {}
     for e in tr["traceEvents"]:
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             names[(e["pid"], e["tid"])] = e["args"]["name"]
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            procs[e["pid"]] = e["args"]["name"]
     agg, cnt = collections.Counter(), collections.Counter()
     total = 0
     for e in tr["traceEvents"]:
-        if e.get("ph") == "X" and "TPU" in str(
-                names.get((e["pid"], e["tid"]), "")):
+        # Device ops live under process "/device:TPU:N" — older traces named
+        # the THREAD with "TPU", newer ones call it "XLA Ops"; accept both.
+        tname = str(names.get((e["pid"], e["tid"]), ""))
+        on_device = "TPU" in tname or (
+            "TPU" in str(procs.get(e["pid"], "")) and tname == "XLA Ops")
+        if e.get("ph") == "X" and on_device:
             agg[e["name"]] += e.get("dur", 0)
             cnt[e["name"]] += 1
             total += e.get("dur", 0)
