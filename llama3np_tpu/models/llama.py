@@ -46,6 +46,10 @@ class StaticConfig(NamedTuple):
                               # 1=Pallas page-streaming, 2=Pallas interpreted
     stream_plan: tuple = ()   # 8B-class fused decode: (dq_block, m_block,
                               # do_block, ffn_block); () = not streamed
+    sharded: bool = False     # params/caches ride a mesh: serving commits
+                              # keep the multi-axis scatter (KVH stays a
+                              # sharded window dim; the single-chip flat
+                              # form would merge it away in a reshape)
 
     @classmethod
     def from_args(cls, args: ModelArgs, precision=None, fused=False,
@@ -383,10 +387,12 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     if block_table is not None:
         cache_new = ops.commit_decode_rows_paged(cache, ys[0], ys[1],
                                                  page_ids, offsets,
-                                                 *(ys[2:] if quant else ()))
+                                                 *(ys[2:] if quant else ()),
+                                                 sharded=cfg.sharded)
     else:
         cache_new = ops.commit_decode_rows_dense(cache, ys[0], ys[1], pos,
-                                                 *(ys[2:] if quant else ()))
+                                                 *(ys[2:] if quant else ()),
+                                                 sharded=cfg.sharded)
     h = ops.rms_norm(h[:, -1, :], params["norm"], cfg.norm_eps)
     return lm_logits(params, h, cfg.precision), cache_new
 
@@ -473,11 +479,12 @@ def insert_window_rows(win: Dict, rows, s) -> Dict:
 
 
 def commit_window(cache: Dict, win: Dict, pos0, block_table,
-                  num_steps: int) -> Dict:
+                  num_steps: int, sharded: bool = False) -> Dict:
     if block_table is not None:
         return ops.commit_window_paged(cache, win, pos0, block_table,
-                                       num_steps)
-    return ops.commit_window_dense(cache, win, pos0, num_steps)
+                                       num_steps, sharded=sharded)
+    return ops.commit_window_dense(cache, win, pos0, num_steps,
+                                   sharded=sharded)
 
 
 def _hoist_scale_rows(cache: Dict, block_table):
@@ -527,7 +534,8 @@ def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
     win0 = init_decode_window(cache, tokens.shape[0], num_steps)
     (_, win), ys = jax.lax.scan(
         step, (tokens, win0), jnp.arange(num_steps, dtype=pos.dtype))
-    cache = commit_window(cache, win, pos0, block_table, num_steps)
+    cache = commit_window(cache, win, pos0, block_table, num_steps,
+                          sharded=cfg.sharded)
     if num_logprobs is None:
         return ys.T, cache
     toks, lp, tids, tlps = ys
@@ -568,7 +576,8 @@ def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
     win0 = init_decode_window(cache, tokens.shape[0], num_steps)
     (_, win), ys = jax.lax.scan(
         step, (tokens, win0), jnp.arange(num_steps, dtype=pos.dtype))
-    cache = commit_window(cache, win, pos0, block_table, num_steps)
+    cache = commit_window(cache, win, pos0, block_table, num_steps,
+                          sharded=cfg.sharded)
     if num_logprobs is None:
         return ys.T, cache
     toks, lp, tids, tlps = ys
@@ -616,7 +625,8 @@ class Llama:
                                               unroll=unroll,
                                               rope_split=rope_split
                                               )._replace(flash_prefill=False,
-                                                         paged_kernel=0)
+                                                         paged_kernel=0,
+                                                         sharded=True)
             self.params = shard_params(params, mesh, args)
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
@@ -692,7 +702,8 @@ class Llama:
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import shard_params, shard_cache
-            self.cfg = self.cfg._replace(flash_prefill=False, paged_kernel=0)
+            self.cfg = self.cfg._replace(flash_prefill=False, paged_kernel=0,
+                                         sharded=True)
             self.params = shard_params(params, mesh, args)
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
@@ -722,7 +733,8 @@ class Llama:
         self.cfg = StaticConfig.from_args(args, prec, fused=False,
                                           unroll=unroll, rope_split=False
                                           )._replace(flash_prefill=False,
-                                                     paged_kernel=0)
+                                                     paged_kernel=0,
+                                                     sharded=True)
         self.mesh = mesh
         self.params = load_param_tree_sharded(model_path, args, mesh)
         self._shard_cache = lambda c: shard_cache(c, mesh)

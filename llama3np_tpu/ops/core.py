@@ -692,14 +692,30 @@ def _commit_rows_flat(pool: jax.Array, flat, vals, tail_ndim: int):
 def commit_decode_rows_paged(cache: Dict, k_rows: jax.Array,
                              v_rows: jax.Array, page_ids: jax.Array,
                              offsets: jax.Array, ks_rows=None,
-                             vs_rows=None) -> Dict:
+                             vs_rows=None, sharded: bool = False) -> Dict:
     """Commit every layer's new decode K/V rows to the paged pool in ONE
     scatter: rows [NL, B, KVH, HD] (pool dtype) land at
     (layer, page_ids[b], :, offsets[b]).  The single write point the
     restructured serving step uses after its layer scan — the pool input is
     donated by the caller, so this is an in-place update, not a copy
     (_commit_rows_flat keeps it layout-neutral).
-    int8 pools also commit scale rows [NL, B, KVH]."""
+    int8 pools also commit scale rows [NL, B, KVH].
+
+    sharded=True (TP pools, KVH carries a mesh axis): keeps the multi-axis
+    scatter — indices touch only replicated axes so each shard commits its
+    own heads locally; the flat form's reshape would merge the sharded KVH
+    axis away and force a full reshard per step."""
+    if sharded:
+        new = {"k": cache["k"].at[:, page_ids, :, offsets].set(
+                   k_rows.astype(cache["k"].dtype).transpose(1, 0, 2, 3)),
+               "v": cache["v"].at[:, page_ids, :, offsets].set(
+                   v_rows.astype(cache["v"].dtype).transpose(1, 0, 2, 3))}
+        if ks_rows is not None:
+            new["k_s"] = cache["k_s"].at[:, page_ids, :, offsets].set(
+                ks_rows.transpose(1, 0, 2))
+            new["v_s"] = cache["v_s"].at[:, page_ids, :, offsets].set(
+                vs_rows.transpose(1, 0, 2))
+        return new
     kvh, page = cache["k"].shape[2], cache["k"].shape[3]
     flat = ((page_ids[:, None] * kvh + jnp.arange(kvh)) * page
             + offsets[:, None]).reshape(-1)          # [B*KVH]
@@ -714,7 +730,8 @@ def commit_decode_rows_paged(cache: Dict, k_rows: jax.Array,
 
 
 def commit_window_paged(cache: Dict, win: Dict, pos0: jax.Array,
-                        block_table: jax.Array, num_steps: int) -> Dict:
+                        block_table: jax.Array, num_steps: int,
+                        sharded: bool = False) -> Dict:
     """Commit a whole quantum's in-flight window to the paged pool in ONE
     scatter: win["k"/"v"] [NL, B, KVH, Q, HD] (pool dtype; int8 windows also
     carry "k_s"/"v_s" [NL, B, KVH, Q]) — column s of row b lands at the
@@ -733,6 +750,18 @@ def commit_window_paged(cache: Dict, win: Dict, pos0: jax.Array,
     pidx = jnp.take_along_axis(block_table,
                                jnp.minimum(steps // page, maxp - 1), axis=1)
     offs = steps % page
+    if sharded:  # TP pools: multi-axis scatter keeps KVH sharded (see
+        #          commit_decode_rows_paged)
+        new = {"k": cache["k"].at[:, pidx, :, offs].set(
+                   win["k"].transpose(1, 3, 0, 2, 4)),
+               "v": cache["v"].at[:, pidx, :, offs].set(
+                   win["v"].transpose(1, 3, 0, 2, 4))}
+        if "k_s" in win:
+            new["k_s"] = cache["k_s"].at[:, pidx, :, offs].set(
+                win["k_s"].transpose(1, 3, 0, 2))
+            new["v_s"] = cache["v_s"].at[:, pidx, :, offs].set(
+                win["v_s"].transpose(1, 3, 0, 2))
+        return new
     # Layout-neutral flat-row scatter (see _commit_rows_flat).
     flat = ((pidx[..., None] * kvh + jnp.arange(kvh)) * page
             + offs[..., None]).reshape(-1)          # [B*Q*KVH]
@@ -751,13 +780,25 @@ def commit_window_paged(cache: Dict, win: Dict, pos0: jax.Array,
 
 
 def commit_window_dense(cache: Dict, win: Dict, pos0: jax.Array,
-                        num_steps: int) -> Dict:
+                        num_steps: int, sharded: bool = False) -> Dict:
     """Dense-cache counterpart of commit_window_paged: window column s of
     row b lands at (layer, b, :, pos0[b] + s) of the [NL, B, KVH, M, HD]
     cache in one scatter (out-of-range overrun positions are dropped by the
     scatter, matching the per-step form's behavior)."""
     nl, B, kvh, M, _ = cache["k"].shape
     steps = pos0[:, None] + jnp.arange(num_steps, dtype=pos0.dtype)  # [B, Q]
+    if sharded:  # TP caches: multi-axis scatter keeps B/KVH sharded
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, num_steps))
+        new = {"k": cache["k"].at[:, rows, :, steps].set(
+                   win["k"].transpose(1, 3, 0, 2, 4)),
+               "v": cache["v"].at[:, rows, :, steps].set(
+                   win["v"].transpose(1, 3, 0, 2, 4))}
+        if "k_s" in win:
+            new["k_s"] = cache["k_s"].at[:, rows, :, steps].set(
+                win["k_s"].transpose(1, 3, 0, 2))
+            new["v_s"] = cache["v_s"].at[:, rows, :, steps].set(
+                win["v_s"].transpose(1, 3, 0, 2))
+        return new
     # Layout-neutral flat-row scatter (see _commit_rows_flat); out-of-range
     # overrun positions map past every layer's rows so XLA drops them
     # (matching the old multi-axis scatter's OOB-drop semantics).
@@ -780,11 +821,24 @@ def commit_window_dense(cache: Dict, win: Dict, pos0: jax.Array,
 
 def commit_decode_rows_dense(cache: Dict, k_rows: jax.Array,
                              v_rows: jax.Array, pos: jax.Array,
-                             ks_rows=None, vs_rows=None) -> Dict:
+                             ks_rows=None, vs_rows=None,
+                             sharded: bool = False) -> Dict:
     """Dense-cache counterpart of commit_decode_rows_paged: rows
     [NL, B, KVH, HD] land at (layer, b, :, pos[b]) of the
     [NL, B, KVH, M, HD] cache in one layout-neutral scatter
     (_commit_rows_flat; OOB positions dropped as before)."""
+    if sharded:  # TP caches: multi-axis scatter keeps B/KVH sharded
+        rows = jnp.arange(pos.shape[0])
+        new = {"k": cache["k"].at[:, rows, :, pos].set(
+                   k_rows.astype(cache["k"].dtype).transpose(1, 0, 2, 3)),
+               "v": cache["v"].at[:, rows, :, pos].set(
+                   v_rows.astype(cache["v"].dtype).transpose(1, 0, 2, 3))}
+        if ks_rows is not None:
+            new["k_s"] = cache["k_s"].at[:, rows, :, pos].set(
+                ks_rows.transpose(1, 0, 2))
+            new["v_s"] = cache["v_s"].at[:, rows, :, pos].set(
+                vs_rows.transpose(1, 0, 2))
+        return new
     nl, B, kvh, M, _ = cache["k"].shape
     flat = ((jnp.arange(B)[:, None] * kvh + jnp.arange(kvh)) * M
             + pos[:, None])                          # [B, KVH]

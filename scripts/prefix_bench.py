@@ -62,6 +62,52 @@ def run(prefix_cache: bool, engine, args, prompts):
     return admit_ms, wall, total, be.prefix_stats, reqs
 
 
+def chat_phase(engine, args, prefix_cache: bool):
+    """Multi-turn chat through chat.py rendering (VERDICT r4 next #4): each
+    turn's rendering is a string prefix of the next, so follow-up turns
+    should admit off the conversation pages the previous turn registered.
+    Measures per-turn TTFT (submit -> first token visible) and the
+    registry hit counters."""
+    import numpy as np
+    from llama3np_tpu.chat import render_chat
+    from llama3np_tpu.serving import BatchEngine
+
+    class _WordTok:  # synthetic-weights run: a stable whitespace tokenizer
+        def encode(self, text, add_bos=True):
+            ids = [hash(w) % 30000 + 10 for w in text.split()]
+            return ([1] + ids) if add_bos else ids
+
+    tok = _WordTok()
+    be = BatchEngine(engine, capacity=4, paged=True, page_size=32,
+                     num_pages=1 + 8 * (args.max_seq_len // 32),
+                     prefix_cache=prefix_cache)
+    filler = ("the quick brown fox jumps over the lazy dog " * 40).strip()
+    messages = [{"role": "system", "content": filler}]
+    ttfts = []
+    for turn in range(6):
+        messages.append({"role": "user",
+                         "content": f"question {turn} about topic {turn}"})
+        prompt = render_chat(messages, "llama2")
+        ids = tok.encode(prompt, add_bos=True)
+        t0 = time.perf_counter()
+        req = be.submit(ids, max_new_tokens=24, stop_ids=())
+        while not req.generated:
+            be.step()
+        ttfts.append((time.perf_counter() - t0) * 1e3)
+        be.run_to_completion()
+        # The assistant's reply becomes history for the next turn.
+        reply = " ".join(f"w{t % 97}" for t in req.generated)
+        messages.append({"role": "assistant", "content": reply})
+    label = "on " if prefix_cache else "off"
+    stats = be.prefix_stats or {}
+    print(f"chat prefix_cache={label}: TTFT per turn "
+          f"{[f'{t:.0f}' for t in ttfts]} ms "
+          f"(turn1 {ttfts[0]:.0f} -> turn6 {ttfts[-1]:.0f}); "
+          f"hits={stats.get('hits', 0)} hit_tokens={stats.get('hit_tokens', 0)}",
+          flush=True)
+    return ttfts
+
+
 def main():
     import jax
     from llama3np_tpu import preset, synthetic_weights
@@ -104,6 +150,17 @@ def main():
           f"{on_ms:.1f} ms (page gather + suffix) = {off_ms / on_ms:.1f}x; "
           f"workload wall {out[False][1]:.2f}s -> {out[True][1]:.2f}s "
           f"({out[False][1] / out[True][1]:.2f}x)", flush=True)
+
+    print("\nmulti-turn chat workload (chat.py llama2 rendering; each mode "
+          "runs twice, first run pays trace/compile):", flush=True)
+    chat_phase(engine, args, prefix_cache=False)
+    t_off = chat_phase(engine, args, prefix_cache=False)
+    chat_phase(engine, args, prefix_cache=True)
+    t_on = chat_phase(engine, args, prefix_cache=True)
+    late_off = np.mean(t_off[1:])
+    late_on = np.mean(t_on[1:])
+    print(f"follow-up-turn TTFT: {late_off:.0f} ms -> {late_on:.0f} ms "
+          f"({late_off / late_on:.1f}x)", flush=True)
 
 
 if __name__ == "__main__":

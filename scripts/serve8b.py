@@ -31,20 +31,29 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    import argparse
     import jax
     from llama3np_tpu import preset, synthetic_weights
     from llama3np_tpu.kvcache import cache_nbytes
     from llama3np_tpu.models.llama import Llama
     from llama3np_tpu.serving import BatchEngine
 
-    capacity = 8
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--capacity", type=int, default=8)
+    ap.add_argument("--num-pages", type=int, default=1040)
+    ap.add_argument("--quantum", type=int, default=8)
+    ap.add_argument("--max-prompt", type=int, default=7800,
+                    help="longest mixed-workload prompt (capacity 16 runs "
+                         "cap this so worst-case reservations fit the pool)")
+    cli = ap.parse_args()
+    capacity = cli.capacity
     # Page 64: one kernel DMA moves [KVH, page, HD] — 64 KB at page 64 vs
     # 32 KB at page 32, and the measured realized bandwidth jumps 395 ->
     # ~800 GB/s (streaming peak) because per-DMA issue cost stops dominating
     # (scripts/probe_paged_chunk.py, round 4).  int8 sublane tile needs
     # page >= 32; 64 satisfies it with margin.
     page_size = 64
-    quantum = 8
+    quantum = cli.quantum
     args = preset("llama3-8b", quant="int8", fuse_matmuls=False,
                   kv_quant="int8")
 
@@ -84,8 +93,11 @@ def main():
     # + weights 8.04 + the 1.07 GB admission row temp = ~13.6 GB of 15.75).
     # Every sequence's full-context reservation is now physically backed —
     # the admission backpressure only queues above capacity, never above
-    # memory.
-    num_pages = 1040
+    # memory.  Capacity 16 (round 5, after the layout-copy fixes freed the
+    # 2.2 GB relayout temp) runs the shared-budget posture instead: pool >
+    # sum of expected lengths but < 16 x 8K, reservation backpressure
+    # queues the tail (--num-pages 1180 --max-prompt 3500).
+    num_pages = cli.num_pages
     pool_bytes = num_pages * 2 * args.n_layers * args.kv_heads * page_size * (
         args.head_dim + 4)
     print(f"weights on device: {wbytes / 1e9:.2f} GB int8\n"
@@ -103,6 +115,10 @@ def main():
     lengths = [64, 300, 800, 1500, 2500, 4000, 6000, 7800,
                128, 640, 1200, 3000]
     budgets = [48, 96, 192, 64, 96, 48, 64, 96, 192, 64, 48, 96]
+    if capacity > 8:  # scale the workload with the slot count
+        lengths = lengths + lengths[:capacity - 8]
+        budgets = budgets + budgets[:capacity - 8]
+    lengths = [min(n, cli.max_prompt) for n in lengths]
     reqs = []
 
     print("admitting + serving...", flush=True)
@@ -128,10 +144,11 @@ def main():
     print("marginal step timing at full occupancy...", flush=True)
     reqs2 = []
     for i in range(capacity):
-        prompt = rng.integers(10, args.vocab_size,
-                              size=int(1000 + 500 * i)).tolist()
+        step_len = 500 if capacity <= 8 else 3500 // capacity
+        n = min(1000 + step_len * i, cli.max_prompt)
+        prompt = rng.integers(10, args.vocab_size, size=n).tolist()
         # Budget 256 keeps every slot active through the timed quanta while
-        # the worst-case reservations (~750 pages total) fit the pool.
+        # the worst-case reservations fit the pool.
         reqs2.append(be.submit(prompt, max_new_tokens=256, stop_ids=()))
     times = {}
     for q in (4, 16):

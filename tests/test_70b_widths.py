@@ -27,9 +27,13 @@ from llama3np_tpu import preset
 from llama3np_tpu.models.llama import Llama
 from llama3np_tpu.parallel import make_mesh
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 (virtual) devices"),
+    # Real-width engines are minutes of CPU compile each: nightly lane only
+    # (the driver's dryrun_multichip 70B check still runs every round).
+    pytest.mark.slow,
+]
 
 
 def wide_args(**over):

@@ -10,6 +10,9 @@ from llama3np_tpu import preset, synthetic_weights
 from llama3np_tpu.models.llama import Llama
 from llama3np_tpu.parallel.pipeline import PipelinedLlama, make_pp_mesh
 
+# Heavy compile/soak lane: nightly full suite only (pyproject 'slow').
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pp_setup():

@@ -4,10 +4,14 @@ stream and leak no pages.  Catches allocator/slot/quantum interaction bugs
 that scripted scenarios miss."""
 
 import numpy as np
+import pytest
 
 from llama3np_tpu import preset, synthetic_weights
 from llama3np_tpu.models.llama import Llama
 from llama3np_tpu.serving import BatchEngine
+
+# Heavy compile/soak lane: nightly full suite only (pyproject 'slow').
+pytestmark = pytest.mark.slow
 
 
 def test_randomized_soak():

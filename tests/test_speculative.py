@@ -12,6 +12,9 @@ from llama3np_tpu import preset, synthetic_weights
 from llama3np_tpu.models.llama import Llama
 from llama3np_tpu.speculative import SpeculativeGenerator, quantized_draft
 
+# Heavy compile/soak lane: nightly full suite only (pyproject 'slow').
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny():
