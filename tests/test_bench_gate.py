@@ -8,6 +8,8 @@ keeps the timed scan short).
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -21,6 +23,9 @@ def _run(extra_env):
                           text=True, env=env, timeout=900)
 
 
+@pytest.mark.slow  # full bench subprocess (~70s); the driver runs the
+# real gate on TPU every round, and the corrupt-weights gate test below
+# keeps the parity-gate logic in the fast lane
 def test_bench_emits_one_json_line():
     r = _run({})
     assert r.returncode == 0, r.stderr[-2000:]

@@ -200,7 +200,10 @@ def test_ffn_hidden_dim_rule():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("name", ["llama3.2-1b", "llama3.2-3b"])
+@_pytest.mark.parametrize("name", [
+    "llama3.2-1b",
+    _pytest.param("llama3.2-3b", marks=_pytest.mark.slow),  # ~40s compile
+])
 def test_llama32_presets_smoke(name, rng):
     """llama3.2 presets: GQA shapes, tied embeddings, and the full pipeline
     on a 2-layer shrunk-vocab variant (synthetic weights, CPU)."""

@@ -88,6 +88,8 @@ def test_llama3_simple_byte_compat(workdir):
     assert our_count == ref_count
 
 
+@pytest.mark.slow  # two subprocess CLI runs, ~100s; the byte-compat
+# contract stays in the fast lane via test_llama3_simple_byte_compat
 def test_llama3_format_and_stream(workdir):
     ref = _run(os.path.join(REF, "llama3.py"), workdir, ours=False)
     ours = _run(os.path.join(REPO, "llama3.py"), workdir, ours=True)
