@@ -63,11 +63,19 @@ def time_prefill(engine, L: int, n_lo=2, n_hi=6) -> float:
     cache = init_cache(args, 1, max_seq_len=L)
 
     def many(params, ids, cache, cos, sin, n):
+        # The carry must feed the next iteration's INPUT: a first-chunk
+        # prefill never reads the cache (it only writes it), so a plain
+        # repeat-the-prefill scan is loop-invariant and XLA hoists the
+        # whole body out — T(n) flat in n, garbage marginals (the roofline
+        # probe's loop-carried-matvec rule, BENCHMARKS.md round 3).
         def body(c, _):
-            logits, c = prefill_logits(params, ids, jnp.int32(L), c,
-                                       cos, sin, cfg=cfg)
-            return c, logits[0, 0]
-        c, out = jax.lax.scan(body, cache, None, length=n)
+            ids_c, cache = c
+            logits, cache = prefill_logits(params, ids_c, jnp.int32(L),
+                                           cache, cos, sin, cfg=cfg)
+            bump = (jnp.argmax(logits[0]) % 3).astype(jnp.int32)
+            ids_next = (ids_c + bump) % args.vocab_size
+            return (ids_next, cache), logits[0, 0]
+        _, out = jax.lax.scan(body, (ids, cache), None, length=n)
         return out
 
     fns = {n: jax.jit(partial(many, n=n)) for n in (n_lo, n_hi)}

@@ -46,9 +46,10 @@ def profile_steps(be, quantum, trace_dir):
     for e in tr["traceEvents"]:
         # Device ops live under process "/device:TPU:N" — older traces named
         # the THREAD with "TPU", newer ones call it "XLA Ops"; accept both.
-        tname = str(names.get((e["pid"], e["tid"]), ""))
+        # (Some metadata/counter events carry no tid at all.)
+        tname = str(names.get((e.get("pid"), e.get("tid")), ""))
         on_device = "TPU" in tname or (
-            "TPU" in str(procs.get(e["pid"], "")) and tname == "XLA Ops")
+            "TPU" in str(procs.get(e.get("pid"), "")) and tname == "XLA Ops")
         if e.get("ph") == "X" and on_device:
             agg[e["name"]] += e.get("dur", 0)
             cnt[e["name"]] += 1

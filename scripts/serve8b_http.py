@@ -105,38 +105,47 @@ def main():
                      num_pages=1040, kv_quant="int8", admit_chunk=512)
     srv = serve(be, None, port=PORT, quantum=8)
 
-    # Warm the compile caches with one request before the measured burst.
+    # Warm the compile caches with one request before the measured bursts.
     rng = np.random.default_rng(3)
     post("/v1/completions", {"prompt_ids": rng.integers(10, 128000, size=100)
                              .tolist(), "max_tokens": 4, "stop_ids": []}).read()
-    m0 = metrics()
 
-    results = {}
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(i, np.random
-                                                     .default_rng(100 + i),
-                                                     results))
-               for i in range(N_CLIENTS)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    m1 = metrics()
+    # Burst 1 pays the remaining remote bucket/admission compiles in-band;
+    # burst 2 (same client seeds -> same prompt lengths) is the measurement.
+    for burst in (1, 2):
+        m0 = metrics()
+        results = {}
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client,
+                                    args=(i, np.random.default_rng(100 + i),
+                                          results))
+                   for i in range(N_CLIENTS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        m1 = metrics()
 
-    total = sum(r[3] for r in results.values())
-    ttfts = sorted(r[1] for r in results.values() if r[1] is not None)
-    walls = sorted(r[2] for r in results.values())
-    served = m1["llama3np_served_tokens_total"] - \
-        m0["llama3np_served_tokens_total"]
-    print(f"\n{N_CLIENTS} concurrent clients, {total} tokens in {wall:.1f}s "
-          f"-> {total / wall:,.0f} tok/s through HTTP", flush=True)
-    print(f"TTFT p50/p90: {ttfts[len(ttfts) // 2]:.2f}s / "
-          f"{ttfts[int(len(ttfts) * 0.9)]:.2f}s; completion p50 "
-          f"{walls[len(walls) // 2]:.2f}s", flush=True)
-    print(f"engine step EMA: {m1['llama3np_step_seconds_ema'] * 1e3:.1f} ms "
-          f"(quantum 8); served_tokens delta {served:.0f} "
-          f"(incl. cancelled client 0: {results[0]})", flush=True)
+        total = sum(r[3] for r in results.values())
+        ttfts = sorted(r[1] for r in results.values() if r[1] is not None)
+        walls = sorted(r[2] for r in results.values())
+        served = m1["llama3np_served_tokens_total"] - \
+            m0["llama3np_served_tokens_total"]
+        dsteps = m1["llama3np_engine_steps_total"] - \
+            m0["llama3np_engine_steps_total"]
+        dsec = m1["llama3np_step_seconds_total"] - \
+            m0["llama3np_step_seconds_total"]
+        print(f"\nburst {burst}: {N_CLIENTS} concurrent clients, {total} "
+              f"tokens in {wall:.1f}s -> {total / wall:,.0f} tok/s through "
+              f"HTTP", flush=True)
+        print(f"  TTFT p50/p90: {ttfts[len(ttfts) // 2]:.2f}s / "
+              f"{ttfts[int(len(ttfts) * 0.9)]:.2f}s; completion p50 "
+              f"{walls[len(walls) // 2]:.2f}s", flush=True)
+        print(f"  engine step wall (this burst): {dsec / dsteps * 1e3:.1f} "
+              f"ms x {dsteps:.0f} steps (quantum 8, incl. ~24 ms tunnel "
+              f"dispatch); served_tokens delta {served:.0f} "
+              f"(cancelled client 0: {results[0]})", flush=True)
     srv.shutdown()
     srv.loop.shutdown()
 
