@@ -110,7 +110,8 @@ def _keys(weights):
     return weights.files if hasattr(weights, "files") else weights.keys()
 
 
-def quantize_param_tree(params: Dict, device: bool = False) -> Dict:
+def quantize_param_tree(params: Dict, device: bool = False,
+                        bits: int = 8) -> Dict:
     """Weight-only int8 quantization of the parameter tree — either the
     fused single-chip layout (checkpoint.fuse_param_tree output) or the
     split layout tensor parallelism keeps (build_param_tree output; scale
@@ -136,26 +137,42 @@ def quantize_param_tree(params: Dict, device: bool = False) -> Dict:
     quantizing at HBM bandwidth beats minutes of host NumPy (the upload is
     4x the int8 bytes, so through a slow host<->device link the host pool
     can win; measure per deployment).
+
+    bits=4 stores int4 payloads with the same per-output-channel commuting
+    scales (qmax 7): XLA:TPU packs s4 two-per-byte in HBM, so weight
+    streaming halves AGAIN vs int8 — llama3-8b in ~4.2 GB.  Quality is
+    weight-dependent; the measured envelope on a trained checkpoint is
+    +0.003 nats/token over fp32 at stories15M scale (scripts/
+    train_confident.py methodology; real-8B quality needs real weights).
+    int4 runs the unfused split layout (single-chip or TP) — the fused
+    Pallas decode kernels consume int8 blocks only.
     """
+    qmax = {8: 127, 4: 7}[bits]
     if device:
         import functools
 
         import jax
         import jax.numpy as jnp
 
+        qdt = jnp.int8 if bits == 8 else jnp.int4
+
         @functools.partial(jax.jit, static_argnames="axis")
         def q(w, axis):
             w = jnp.asarray(w, jnp.float32)
-            s = jnp.max(jnp.abs(w), axis=axis, keepdims=True) / 127.0
+            s = jnp.max(jnp.abs(w), axis=axis, keepdims=True) / qmax
             s = jnp.maximum(s, 1e-12).astype(jnp.float32)
-            w8 = jnp.clip(jnp.rint(w / s), -127, 127).astype(jnp.int8)
+            w8 = jnp.clip(jnp.rint(w / s), -qmax, qmax).astype(qdt)
             return w8, s
     else:
+        import ml_dtypes
+
+        qdt = np.int8 if bits == 8 else ml_dtypes.int4
+
         def q(w, axis):
             w = np.asarray(w, np.float32)
-            s = np.max(np.abs(w), axis=axis, keepdims=True) / 127.0
+            s = np.max(np.abs(w), axis=axis, keepdims=True) / qmax
             s = np.maximum(s, 1e-12).astype(np.float32)
-            w8 = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+            w8 = np.clip(np.rint(w / s), -qmax, qmax).astype(qdt)
             return w8, s
 
     ly = dict(params["layers"])
@@ -189,15 +206,18 @@ def save_quantized_npz(params: Dict, path: str, rope_split: bool = True):
     import ml_dtypes
 
     flat = {"__rope_split__": np.asarray(int(rope_split))}
-    bf16_keys = []
+    bf16_keys, int4_keys = [], []
 
     def put(key, v):
         v = np.asarray(v)
-        # np.savez writes bfloat16 as a raw void dtype np.load can't hand
-        # back to JAX; store the bits as uint16 and record the key.
+        # np.savez writes bfloat16/int4 as raw void dtypes np.load can't
+        # hand back to JAX; store the bits and record the keys.
         if v.dtype == ml_dtypes.bfloat16:
             bf16_keys.append(key)
             v = v.view(np.uint16)
+        elif v.dtype == ml_dtypes.int4:
+            int4_keys.append(key)
+            v = v.view(np.int8)  # one byte per nibble on disk
         flat[key] = v
 
     for k, v in params.items():
@@ -207,6 +227,7 @@ def save_quantized_npz(params: Dict, path: str, rope_split: bool = True):
         else:
             put(k, v)
     flat["__bf16__"] = np.asarray(bf16_keys)
+    flat["__int4__"] = np.asarray(int4_keys)
     np.savez(path, **flat)
 
 
@@ -217,11 +238,14 @@ def load_quantized_npz(path: str):
 
     npz = np.load(path)
     bf16 = set(npz["__bf16__"].tolist()) if "__bf16__" in npz.files else set()
+    int4 = set(npz["__int4__"].tolist()) if "__int4__" in npz.files else set()
 
     def get(k):
         v = npz[k]
         if k in bf16:
             return v.view(ml_dtypes.bfloat16)
+        if k in int4:
+            return v.view(ml_dtypes.int4)
         # Legacy checkpoints (no manifest) stored bfloat16 as raw 2-byte
         # void; bfloat16 is the only 2-byte non-native dtype we ever write.
         if v.dtype.kind == "V" and v.dtype.itemsize == 2:
@@ -233,7 +257,7 @@ def load_quantized_npz(path: str):
     for k in npz.files:
         if k == "__rope_split__":
             rope_split = bool(int(npz[k]))
-        elif k == "__bf16__":
+        elif k in ("__bf16__", "__int4__"):
             continue
         elif k.startswith("layers."):
             out["layers"][k[len("layers."):]] = get(k)

@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=None,
                    choices=[None, "float32", "bfloat16", "float16"])
     p.add_argument("--attn-impl", default=None, choices=[None, "auto", "xla", "pallas"])
-    p.add_argument("--quant", default=None, choices=[None, "int8"],
+    p.add_argument("--quant", default=None, choices=[None, "int8", "int4"],
                    help="weight-only quantization (int8 per-output-channel "
                         "scales; fits llama3-8b on one 16 GB chip)")
     p.add_argument("--precision", default=None, choices=[None, "default", "highest"])

@@ -82,12 +82,14 @@ class ModelArgs:
     # do_block, ffn_block); None = auto (plan_streamed when the grouped
     # layouts exceed VMEM).
     pallas_stream: Optional[tuple] = None
-    # Weight-only quantization: None (args.dtype weights) or "int8"
-    # (per-output-channel symmetric int8 matmul weights + f32 scales;
-    # activations stay args.dtype).  Supported deployment shapes: single-chip
-    # fused/streamed Pallas, unfused split layout, tensor parallelism (scales
-    # shard with their weights), pipeline parallelism, and int8 checkpoints
-    # (save_quantized_npz / Llama.from_quantized).
+    # Weight-only quantization: None (args.dtype weights), "int8", or
+    # "int4" (per-output-channel symmetric matmul weights + f32 scales;
+    # activations stay args.dtype).  int8 supports every deployment shape:
+    # single-chip fused/streamed Pallas, unfused split layout, tensor
+    # parallelism (scales shard with their weights), pipeline parallelism,
+    # and quantized checkpoints (save_quantized_npz / Llama.from_quantized).
+    # int4 (qmax 7; XLA:TPU packs s4 two-per-byte, halving weight streaming
+    # again — llama3-8b in ~4.2 GB) runs the unfused split layout shapes.
     quant: Optional[str] = None
     # KV-cache quantization for the SERVING engine (BatchEngine): None
     # (kv_dtype pools) or "int8" — per-(token, kv-head) symmetric scales in a

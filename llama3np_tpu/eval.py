@@ -132,7 +132,7 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="./stories15M.model.npz")
     p.add_argument("--tokenizer", default="./tokenizer.model.np")
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--quant", default=None, choices=[None, "int8"])
+    p.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--batch-size", type=int, default=8)
     args = p.parse_args(argv)
 

@@ -612,12 +612,13 @@ class Llama:
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.sharding import shard_params, shard_cache
-            if args.quant == "int8":
+            if args.quant in ("int8", "int4"):
                 # Quantize the SPLIT tree (the TP layout keeps split
                 # weights); scale leaves shard with their weights
                 # (parallel.sharding.param_pspecs quant specs).
                 from ..checkpoint import quantize_param_tree
-                params = quantize_param_tree(params)
+                params = quantize_param_tree(
+                    params, bits=4 if args.quant == "int4" else 8)
             # Pallas kernels (incl. flash prefill) are single-chip programs —
             # GSPMD cannot partition a pallas_call over TP-sharded operands,
             # so sharded engines keep the pure-XLA paths.
@@ -632,9 +633,15 @@ class Llama:
         else:
             fused = args.fuse_matmuls
             stream = ()
-            if args.quant == "int8" and not fused:
+            if args.quant == "int4" and fused:
+                raise ValueError(
+                    "quant='int4' runs the unfused split layout (the fused "
+                    "Pallas decode kernels consume int8 blocks only); set "
+                    "fuse_matmuls=False")
+            if args.quant in ("int8", "int4") and not fused:
                 from ..checkpoint import quantize_param_tree
-                params = quantize_param_tree(params)  # split layout
+                params = quantize_param_tree(
+                    params, bits=4 if args.quant == "int4" else 8)
             if fused:
                 from ..checkpoint import fuse_param_tree, quantize_param_tree
                 from ..ops.kernels.decode_step import (plan_layout,

@@ -345,8 +345,9 @@ class PipelinedLlama:
         rope_split = getattr(args, "rope_split_layout", True)
         if rope_split:
             params = permute_rope_layout(params, args)
-        if args.quant == "int8":
-            params = quantize_param_tree(params)
+        if args.quant in ("int8", "int4"):
+            params = quantize_param_tree(
+                params, bits=4 if args.quant == "int4" else 8)
         self.cfg = StaticConfig.from_args(
             args,
             {None: None, "default": None,

@@ -608,7 +608,7 @@ def main(argv=None) -> int:
     p.add_argument("--page-size", type=int, default=16)
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"])
     p.add_argument("--prefix-cache", action="store_true")
-    p.add_argument("--quant", default=None, choices=[None, "int8"])
+    p.add_argument("--quant", default=None, choices=[None, "int8", "int4"])
     p.add_argument("--admit-chunk", type=int, default=None)
     p.add_argument("--logprobs", type=int, default=None, metavar="K",
                    help="enable per-token logprobs up to top-K")

@@ -48,7 +48,11 @@ def prefill_flops(args, L: int) -> float:
     return NL * per_layer + 2 * D * VS         # lm_head on last position
 
 
-def time_prefill(engine, L: int, n_lo=2, n_hi=6) -> float:
+def time_prefill(engine, L: int, n_lo=8, n_hi=72) -> float:
+    # The spread must be wide: a 512-token stories110M prefill is ~0.6 ms
+    # device-side, so a 4-prefill spread would drown in ~ms dispatch jitter
+    # (the first run of this bench did exactly that).  64 extra prefills
+    # put 40 ms - 1 s of signal behind the two timed dispatches.
     """Marginal seconds per whole-prompt prefill (tunnel cancelled)."""
     import jax
     import jax.numpy as jnp
@@ -118,7 +122,12 @@ def main():
                           prefill_buckets=(512, 2048), **overrides, **povr)
             engine = Llama(weights, args)
             for L in (512, 2048):
-                sec = time_prefill(engine, L)
+                try:
+                    sec = time_prefill(engine, L)
+                except Exception as e:  # one path must not kill the table
+                    print(f"{name:16s} {pname:6s} L={L:5d}: FAILED "
+                          f"({type(e).__name__}: {str(e)[:90]})", flush=True)
+                    continue
                 fl = prefill_flops(args, L)
                 mfu = fl / sec / PEAK_BF16
                 rows.append((name, pname, L, L / sec, sec * 1e3, mfu))

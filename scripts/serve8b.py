@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--max-prompt", type=int, default=7800,
                     help="longest mixed-workload prompt (capacity 16 runs "
                          "cap this so worst-case reservations fit the pool)")
+    ap.add_argument("--quant", default="int8", choices=["int8", "int4"],
+                    help="weight quantization (int4: ~4.2 GB weights, "
+                         "weight-stream floor halves again)")
     cli = ap.parse_args()
     capacity = cli.capacity
     # Page 64: one kernel DMA moves [KVH, page, HD] — 64 KB at page 64 vs
@@ -54,26 +57,27 @@ def main():
     # page >= 32; 64 satisfies it with margin.
     page_size = 64
     quantum = cli.quantum
-    args = preset("llama3-8b", quant="int8", fuse_matmuls=False,
+    args = preset("llama3-8b", quant=cli.quant, fuse_matmuls=False,
                   kv_quant="int8")
 
-    # Boot from a cached int8 checkpoint when present (the ~19 min host
+    # Boot from a cached quantized checkpoint when present (the ~19 min host
     # generate+quantize of 32 GB fp32 runs once; retries take seconds of IO).
     import os
-    ckpt = "/tmp/llama3_8b_int8.npz"
+    ckpt = f"/tmp/llama3_8b_{cli.quant}.npz"
     t0 = time.perf_counter()
     if not os.path.exists(ckpt):
         print("generating synthetic llama3-8b weights...", flush=True)
         weights = synthetic_weights(args, seed=0)
         t1 = time.perf_counter()
-        print(f"  {t1 - t0:.0f}s; quantizing + saving int8 checkpoint...",
-              flush=True)
+        print(f"  {t1 - t0:.0f}s; quantizing + saving {cli.quant} "
+              f"checkpoint...", flush=True)
         from llama3np_tpu.checkpoint import (build_param_tree,
                                              permute_rope_layout,
                                              quantize_param_tree,
                                              save_quantized_npz)
         tree = quantize_param_tree(
-            permute_rope_layout(build_param_tree(weights, args), args))
+            permute_rope_layout(build_param_tree(weights, args), args),
+            bits=4 if cli.quant == "int4" else 8)
         save_quantized_npz(tree, ckpt)
         del weights, tree
         print(f"  {time.perf_counter() - t1:.0f}s transform+save", flush=True)
