@@ -21,13 +21,22 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax
 import jax.numpy as jnp
 
-D, FD = 4096, 14336
+# The weight must EXCEED ~128 MB VMEM at every probed dtype or the loop
+# body hoists it on-chip and nothing streams (the stories15M VMEM-residency
+# lesson, BENCHMARKS.md round 3; the first run of this probe measured
+# "2.6e6 GB/s" on a 59 MB int8 weight for exactly that reason).
+D, FD = 4096, 114688  # int4 235 MB / int8 470 MB / bf16 940 MB
 
 
 def probe(dtype, label):
+    import ml_dtypes
+
     rng = np.random.default_rng(0)
     w8 = rng.integers(-7, 8, size=(D, FD), dtype=np.int8)
-    w = jnp.asarray(w8, dtype)
+    # Cast HOST-side: an eager on-device int8->s4 convert trips a JAX
+    # recursion bug on this backend; device_put of a host int4 array is fine.
+    host_dt = {jnp.int4: ml_dtypes.int4}.get(dtype, dtype)
+    w = jnp.asarray(w8.astype(host_dt))
     s = jnp.asarray(rng.random(FD, dtype=np.float32) + 0.5)
 
     def many(w, s, x0, n):
