@@ -219,6 +219,64 @@ def shard_lora(lora: Dict, mesh) -> Dict:
     return {**lora, "layers": layers}
 
 
+def permute_lora_rope_layout(lora: Dict, args: ModelArgs) -> Dict:
+    """Permute wq_b/wk_b OUTPUT columns to the split-halves RoPE layout —
+    the same load-time transform checkpoint.permute_rope_layout applies to
+    the base wq/wk, so adapter deltas add to permuted-weight outputs
+    consistently.  A factors are untouched (their axis is the input)."""
+    from .ops.core import rope_split_permutation
+
+    ly = dict(lora["layers"])
+    if "wq_b" in ly:
+        ly["wq_b"] = ly["wq_b"][..., rope_split_permutation(args.n_heads,
+                                                            args.head_dim)]
+    if "wk_b" in ly:
+        ly["wk_b"] = ly["wk_b"][..., rope_split_permutation(args.kv_heads,
+                                                            args.head_dim)]
+    return {**lora, "layers": ly}
+
+
+def stack_adapters(adapters, args: ModelArgs, rope_split: bool = False,
+                   dtype=None) -> Dict:
+    """Build a serving adapter BANK from a list of adapter trees: each
+    factor stacks to [NL, NA+1, ...] with bank index 0 all-zero (= base
+    model, the default for requests with no adapter).  The layer axis leads
+    so the serving layer scan takes one cheap dynamic slice per layer
+    before the per-row adapter gather (models/llama.py gather_lora_rows).
+
+    All adapters must share rank / alpha / targets (one compiled program
+    serves every adapter; a mixed-rank bank would need shape churn)."""
+    if not adapters:
+        raise ValueError("stack_adapters needs at least one adapter")
+    r0, a0, t0 = (adapters[0]["rank"], adapters[0]["alpha"],
+                  tuple(adapters[0]["targets"]))
+    for i, ad in enumerate(adapters):
+        if (ad["rank"], ad["alpha"], tuple(ad["targets"])) != (r0, a0, t0):
+            raise ValueError(
+                f"adapter {i} has (rank, alpha, targets)="
+                f"{(ad['rank'], ad['alpha'], tuple(ad['targets']))}; the "
+                f"bank requires {(r0, a0, t0)} (one compiled program)")
+    if rope_split:
+        adapters = [permute_lora_rope_layout(ad, args) for ad in adapters]
+    dt = jnp.dtype(dtype or args.dtype)
+    layers = {}
+    for name in adapters[0]["layers"]:
+        parts = [jnp.zeros_like(adapters[0]["layers"][name])] + [
+            ad["layers"][name] for ad in adapters]
+        # [NA+1, NL, ...] -> [NL, NA+1, ...]
+        layers[name] = jnp.stack(parts).swapaxes(0, 1).astype(dt)
+    return {"layers": layers, "rank": r0, "alpha": a0, "targets": t0,
+            "scale": a0 / r0}
+
+
+def bank_adapter_slice(bank: Dict, index: int) -> Dict:
+    """One adapter's [NL, ...] single-adapter tree from a serving bank
+    (the admission prefill path's shape; index 0 = the zero adapter)."""
+    return {"layers": {name: leaf[:, index]
+                       for name, leaf in bank["layers"].items()},
+            "scale": bank["scale"]}
+
+
 def merge_lora(params: Dict, lora: Dict) -> Dict:
     """Fold adapters into a split-layout param tree: W <- W + scale * A@B.
     Returns a NEW tree (the frozen base is untouched) ready for any

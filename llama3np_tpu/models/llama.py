@@ -67,6 +67,24 @@ class StaticConfig(NamedTuple):
                    getattr(args, "prefill_kv_block", 512), flash, paged)
 
 
+def _device_put_params(params: Dict) -> Dict:
+    """Single-chip parameter placement.  int4 leaves upload as int8 BYTES
+    and convert to s4 inside a jitted program: an eager device_put of a
+    host int4 array (or any later relayout of one) recurses inside this
+    backend's jit dispatch, and the jitted convert births the array in the
+    packed layout downstream programs expect — no relayout ever happens."""
+    import ml_dtypes
+
+    to_s4 = jax.jit(lambda a: a.astype(jnp.int4))
+
+    def put(x):
+        if getattr(x, "dtype", None) == ml_dtypes.int4:
+            return to_s4(jnp.asarray(np.asarray(x).view(np.int8)))
+        return jnp.asarray(x)
+
+    return jax.device_put(jax.tree.map(put, params))
+
+
 def embed_tokens(params: Dict, ids) -> jax.Array:
     """Embedding gather; dequantizes int8 rows with their per-row scale
     (checkpoint.quantize_param_tree)."""
@@ -102,9 +120,25 @@ def _split_qkv(x, lp: Dict, cfg: "StaticConfig", B, L):
             proj("wv", cfg.kv_heads))
 
 
+def _lora_delta(x, ll: Dict, t: str, scale, precision):
+    """Low-rank serving delta for ONE layer's single-adapter slices
+    (ll[f"{t}_a"] [in, r], ll[f"{t}_b"] [r, out]) — 0 when `t` is not an
+    adapted target.  The adapted matmul stays x@W + scale*(x@A)@B; W + AB
+    is never materialized (lora.py design)."""
+    if ll is None or f"{t}_a" not in ll:
+        return 0
+    u = jnp.dot(x, ll[f"{t}_a"], precision=precision,
+                preferred_element_type=jnp.float32)
+    return scale * jnp.dot(u.astype(x.dtype), ll[f"{t}_b"],
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+
+
 def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
-                h, lp: Dict, ck, cv):
-    """One transformer block. h: [B, L, D]; ck/cv: this layer's cache slice."""
+                h, lp: Dict, ck, cv, ll: Dict = None, lora_scale=1.0):
+    """One transformer block. h: [B, L, D]; ck/cv: this layer's cache slice.
+    ll: one layer's single-adapter LoRA slices (serving admissions prefill
+    the request's adapter through here — multi-LoRA serving)."""
     B, L, D = h.shape
     x = ops.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
     if cfg.fused:
@@ -115,6 +149,15 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                                 scale=lp.get("wqkv_scale"))
     else:
         q, k, v = _split_qkv(x, lp, cfg, B, L)
+    if ll is not None:
+        def add(t, y, heads):
+            if f"{t}_a" not in ll:
+                return y
+            d = _lora_delta(x, ll, t, lora_scale, cfg.precision)
+            return y + d.astype(y.dtype).reshape(B, L, heads, cfg.head_dim)
+        q = add("wq", q, cfg.n_heads)
+        k = add("wk", k, cfg.kv_heads)
+        v = add("wv", v, cfg.kv_heads)
     rope = ops.apply_rope_split if cfg.rope_split else ops.apply_rope
     q = rope(q, cos, sin)
     k = rope(k, cos, sin)
@@ -145,8 +188,15 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
             cfg.kv_block, precision=cfg.precision)
     else:
         attn = ops.cache_attention(q, ck, cv, pos, precision=cfg.precision)
+    lora_cb = None
+    if ll is not None:
+        def lora_cb(t, xin):
+            if f"{t}_a" not in ll:
+                return None
+            return _lora_delta(xin, ll, t, lora_scale, cfg.precision)
     h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
-                             scale=lp.get("wo_scale")).astype(h.dtype)
+                             scale=lp.get("wo_scale"),
+                             lora=lora_cb).astype(h.dtype)
     z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
     if cfg.fused:
         h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
@@ -158,31 +208,42 @@ def _layer_step(cfg: StaticConfig, first_chunk: bool, pos, cos, sin,
                            precision=cfg.precision,
                            s_gate=lp.get("w_gate_scale"),
                            s_up=lp.get("w_up_scale"),
-                           s_down=lp.get("w_down_scale"))
+                           s_down=lp.get("w_down_scale"),
+                           lora=lora_cb)
     return h, ck, cv
 
 
 def forward_hidden(params: Dict, input_ids, pos, cache: Dict,
-                   cos, sin, cfg: StaticConfig, first_chunk: bool):
+                   cos, sin, cfg: StaticConfig, first_chunk: bool,
+                   lora=None):
     """Embed -> N blocks (lax.scan) -> pre-norm hidden states.
 
     input_ids: [B, L] int32 (L static); pos: scalar int32.
     Returns (h [B, L, D], updated cache).
+
+    lora: optional SINGLE-adapter tree {"layers": {t_a: [NL, in, r],
+    t_b: [NL, r, out]}, "scale": alpha/r} — the serving admission path
+    prefills a request through its adapter (multi-LoRA serving).
     """
     L = input_ids.shape[1]
     h = embed_tokens(params, input_ids)
     cos_l = jax.lax.dynamic_slice_in_dim(cos, pos, L)
     sin_l = jax.lax.dynamic_slice_in_dim(sin, pos, L)
+    lscale = lora["scale"] if lora is not None else 1.0
 
     def step(h, xs):
-        lp, ck, cv = xs
-        h, ck, cv = _layer_step(cfg, first_chunk, pos, cos_l, sin_l, h, lp, ck, cv)
+        if lora is not None:
+            lp, ck, cv, ll = xs
+        else:
+            (lp, ck, cv), ll = xs, None
+        h, ck, cv = _layer_step(cfg, first_chunk, pos, cos_l, sin_l, h, lp,
+                                ck, cv, ll=ll, lora_scale=lscale)
         return h, (ck, cv)
 
-    h, (ck_new, cv_new) = jax.lax.scan(
-        step, h, (params["layers"], cache["k"], cache["v"]),
-        unroll=cfg.unroll,
-    )
+    xs = (params["layers"], cache["k"], cache["v"])
+    if lora is not None:
+        xs = (*xs, lora["layers"])
+    h, (ck_new, cv_new) = jax.lax.scan(step, h, xs, unroll=cfg.unroll)
     return h, {"k": ck_new, "v": cv_new}
 
 
@@ -195,10 +256,19 @@ def forward(params: Dict, input_ids, pos, cache: Dict, cos, sin,
     return lm_logits(params, h, cfg.precision), cache
 
 
+def gather_lora_rows(lora_layers: Dict, adapter_ids) -> Dict:
+    """Per-row adapter factors: {t: [NL, NA, ...]} gathered by
+    adapter_ids [B] -> {t: [NL, B, ...]}.  Hoisted out of the quantum scan
+    (adapter assignments are frozen per dispatch) like the int8 pool-scale
+    rows."""
+    return {name: bank[:, adapter_ids] for name, bank in lora_layers.items()}
+
+
 def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                           cfg: StaticConfig, block_table=None,
                           pos0=None, win=None, win_count=None,
-                          commit=True, scale_rows=None):
+                          commit=True, scale_rows=None,
+                          lora=None, adapter_ids=None, lora_rows=None):
     """One decode step where every batch row sits at its own position.
 
     tokens: [B] int32; pos: [B] int32 (row b's token goes to slot pos[b] and
@@ -238,7 +308,17 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
     ops.gather_page_scales_all — the pool scales are frozen for the whole
     quantum, so the caller hoists the gather out of the scan and each
     layer takes its slice here instead of re-gathering.
+
+    Multi-LoRA serving: `lora` is the engine's stacked adapter bank
+    ({"layers": {t_a: [NL, NA, in, r], t_b: [NL, NA, r, out]},
+    "scale": alpha/r}; adapter 0 is all-zero = base model) and
+    adapter_ids [B] selects each row's adapter.  `lora_rows` is the
+    per-row pre-gather ({t: [NL, B, ...]}, gather_lora_rows) — quantum
+    scans hoist it (adapter assignments are frozen per dispatch); when
+    absent it is gathered here.
     """
+    if lora is not None and lora_rows is None:
+        lora_rows = gather_lora_rows(lora["layers"], adapter_ids)
     B = tokens.shape[0]
     quant = "k_s" in cache
     if pos0 is None:
@@ -281,6 +361,35 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                     scale=lp.get("wqkv_scale"))
         else:
             q, k, v = _split_qkv(x, lp, cfg, B, 1)
+        lora_cb = None
+        if lora_rows is not None:
+            ll = {name: jax.lax.dynamic_index_in_dim(rows, li, 0,
+                                                     keepdims=False)
+                  for name, rows in lora_rows.items()}  # {t: [B, ...]}
+            lscale = lora["scale"]
+
+            def lora_cb(t, xin):
+                # Per-row low-rank delta: xin [B, 1, in] against row b's
+                # adapter factors ll[t_a] [B, in, r] / ll[t_b] [B, r, out].
+                if f"{t}_a" not in ll:
+                    return None
+                u = jnp.einsum("bli,bir->blr", xin, ll[f"{t}_a"],
+                               precision=cfg.precision,
+                               preferred_element_type=jnp.float32)
+                return lscale * jnp.einsum(
+                    "blr,bro->blo", u.astype(xin.dtype), ll[f"{t}_b"],
+                    precision=cfg.precision,
+                    preferred_element_type=jnp.float32)
+
+            def addqkv(t, y, heads):
+                d = lora_cb(t, x)
+                if d is None:
+                    return y
+                return y + d.astype(y.dtype).reshape(B, 1, heads,
+                                                     cfg.head_dim)
+            q = addqkv("wq", q, cfg.n_heads)
+            k = addqkv("wk", k, cfg.kv_heads)
+            v = addqkv("wv", v, cfg.kv_heads)
         q = rope_rows(q)
         k = rope_rows(k)
         if quant:
@@ -362,7 +471,8 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                               win_ks=wks, win_vs=wvs,
                                               win_count=win_count)
         h = h + ops.fused_o_proj(attn, lp["wo"], precision=cfg.precision,
-                                 scale=lp.get("wo_scale")).astype(h.dtype)
+                                 scale=lp.get("wo_scale"),
+                                 lora=lora_cb).astype(h.dtype)
         z = ops.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         if cfg.fused:
             h = h + ops.fused_ffn(z, lp["wgu"], lp["w_down"],
@@ -374,7 +484,8 @@ def forward_ragged_decode(params: Dict, tokens, pos, cache: Dict, cos, sin,
                                precision=cfg.precision,
                                s_gate=lp.get("w_gate_scale"),
                                s_up=lp.get("w_up_scale"),
-                               s_down=lp.get("w_down_scale"))
+                               s_down=lp.get("w_down_scale"),
+                               lora=lora_cb)
         if quant:
             return h, (cur_k, cur_v, cur_ks, cur_vs)
         return h, (cur_k, cur_v)
@@ -499,7 +610,8 @@ def _hoist_scale_rows(cache: Dict, block_table):
 
 def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
                         cfg: StaticConfig, num_steps: int, block_table=None,
-                        num_logprobs: Optional[int] = None):
+                        num_logprobs: Optional[int] = None,
+                        lora=None, adapter_ids=None):
     """`num_steps` ragged decode steps as one lax.scan (the serving decode
     quantum — amortizes per-dispatch latency across tokens).
 
@@ -518,13 +630,15 @@ def ragged_decode_steps(params: Dict, tokens, pos, cache: Dict, cos, sin,
     """
     pos0 = pos
     scale_rows = _hoist_scale_rows(cache, block_table)
+    lora_rows = (gather_lora_rows(lora["layers"], adapter_ids)
+                 if lora is not None else None)
 
     def step(carry, s):
         tok, win = carry
         logits, rows = forward_ragged_decode(
             params, tok, pos0 + s, cache, cos, sin, cfg, block_table,
             pos0=pos0, win=win, win_count=s, commit=False,
-            scale_rows=scale_rows)
+            scale_rows=scale_rows, lora=lora, lora_rows=lora_rows)
         win = insert_window_rows(win, rows, s)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if num_logprobs is None:
@@ -548,7 +662,8 @@ def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
                                 cfg: StaticConfig, num_steps: int,
                                 top_k: int = 0, top_p: float = 1.0,
                                 block_table=None,
-                                num_logprobs: Optional[int] = None):
+                                num_logprobs: Optional[int] = None,
+                                lora=None, adapter_ids=None):
     """`ragged_decode_steps` with per-row sampling (temps[b] == 0 keeps that
     row greedy), for serving engines with mixed-policy batches.
 
@@ -559,13 +674,15 @@ def sampled_ragged_decode_steps(params: Dict, tokens, pos, cache: Dict,
     distribution).  Deferred-commit like ragged_decode_steps."""
     pos0 = pos
     scale_rows = _hoist_scale_rows(cache, block_table)
+    lora_rows = (gather_lora_rows(lora["layers"], adapter_ids)
+                 if lora is not None else None)
 
     def step(carry, s):
         tok, win = carry
         logits, rows = forward_ragged_decode(
             params, tok, pos0 + s, cache, cos, sin, cfg, block_table,
             pos0=pos0, win=win, win_count=s, commit=False,
-            scale_rows=scale_rows)
+            scale_rows=scale_rows, lora=lora, lora_rows=lora_rows)
         win = insert_window_rows(win, rows, s)
         keys = fold_row_keys(base_key, rids, ctrs + s)
         nxt = sample_rows(logits, keys, temps, top_k, top_p)
@@ -670,7 +787,7 @@ class Llama:
             self.cfg = StaticConfig.from_args(
                 args, prec, fused=fused, unroll=unroll,
                 rope_split=rope_split)._replace(stream_plan=stream)
-            self.params = jax.device_put(jax.tree.map(jnp.asarray, params))
+            self.params = _device_put_params(params)
             self._shard_cache = lambda c: c
         self._finish_init()
 
@@ -714,7 +831,7 @@ class Llama:
             self.params = shard_params(params, mesh, args)
             self._shard_cache = lambda c: shard_cache(c, mesh)
         else:
-            self.params = jax.device_put(jax.tree.map(jnp.asarray, params))
+            self.params = _device_put_params(params)
             self._shard_cache = lambda c: c
         self._finish_init()
         return self

@@ -30,10 +30,15 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
-           precision=None, s_gate=None, s_up=None, s_down=None) -> jax.Array:
+           precision=None, s_gate=None, s_up=None, s_down=None,
+           lora=None) -> jax.Array:
     """SwiGLU FFN: down( silu(x@gate) * (x@up) ).  int8 weights dequantize
     via the per-output-channel scale post-multiplies (gate's before the
-    SiLU nonlinearity)."""
+    SiLU nonlinearity).
+
+    `lora`: optional callback (target_name, input) -> f32 delta or None —
+    low-rank serving adapters inject AFTER dequantization, BEFORE the
+    nonlinearity (multi-LoRA serving, models/llama.py)."""
     gate = jnp.dot(x, w_gate, precision=precision,
                    preferred_element_type=jnp.float32)
     up = jnp.dot(x, w_up, precision=precision,
@@ -42,11 +47,22 @@ def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array,
         gate = gate * s_gate
     if s_up is not None:
         up = up * s_up
+    if lora is not None:
+        dg = lora("w_gate", x)
+        if dg is not None:
+            gate = gate + dg
+        du = lora("w_up", x)
+        if du is not None:
+            up = up + du
     h = (jax.nn.silu(gate) * up).astype(x.dtype)
     out = jnp.dot(h, w_down, precision=precision,
                   preferred_element_type=jnp.float32)
     if s_down is not None:
         out = out * s_down
+    if lora is not None:
+        dd = lora("w_down", h)
+        if dd is not None:
+            out = out + dd
     return out.astype(x.dtype)
 
 
@@ -90,16 +106,24 @@ def fused_qkv(x: jax.Array, wqkv: jax.Array, n_heads: int, kv_heads: int,
 
 
 def fused_o_proj(attn: jax.Array, wo: jax.Array, precision=None,
-                 scale=None) -> jax.Array:
+                 scale=None, lora=None) -> jax.Array:
     """Output projection: attn [B, L, NH, HD] with wo [QD, D] (standard) or
     [KVH, G*HD, D] (grouped rows).  Returns [B, L, D].  int8 wo dequantizes
     via the per-output `scale` post-multiply ([1, D] / [KVH, 1, D]; grouped
-    scales are per-(group, column), summed over groups after scaling)."""
+    scales are per-(group, column), summed over groups after scaling).
+    `lora`: optional ("wo", input) -> delta callback (split layout only)."""
     B, L = attn.shape[:2]
     if wo.ndim == 2:
-        out = jnp.dot(attn.reshape(B, L, -1), wo, precision=precision,
+        flat = attn.reshape(B, L, -1)
+        out = jnp.dot(flat, wo, precision=precision,
                       preferred_element_type=jnp.float32)
-        return out * scale if scale is not None else out
+        if scale is not None:
+            out = out * scale
+        if lora is not None:
+            d = lora("wo", flat)
+            if d is not None:
+                out = out + d
+        return out
     kvh, gw, d = wo.shape
     ag = attn.reshape(B, L, kvh, gw)
     if scale is not None:

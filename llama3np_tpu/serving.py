@@ -34,7 +34,7 @@ from .models.llama import (fold_row_keys, forward_hidden,
 
 
 def admission_prefill_dense(params, padded, true_len, slot, cache, cos, sin,
-                            cfg, row_dtype=None):
+                            cfg, row_dtype=None, lora=None):
     """Prefill one request on a fresh single-row cache and scatter its K/V
     into `slot` of the dense serving cache — one jitted program with the big
     cache donated, so admission updates the pool in place instead of copying
@@ -51,7 +51,7 @@ def admission_prefill_dense(params, padded, true_len, slot, cache, cos, sin,
     row = {"k": jnp.zeros((nl, 1, kvh, M, hd), dt),
            "v": jnp.zeros((nl, 1, kvh, M, hd), dt)}
     h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
-                            first_chunk=True)
+                            first_chunk=True, lora=lora)
     logits = _last_logits(params, h, true_len, cfg)
     if quant:
         from .ops.core import quantize_kv_rows
@@ -98,7 +98,7 @@ def scatter_row_paged(row, page_idx, cache):
 
 
 def admission_prefill_paged(params, padded, true_len, page_idx, cache,
-                            cos, sin, cfg, row_dtype=None):
+                            cos, sin, cfg, row_dtype=None, lora=None):
     """Paged-mode admission: prefill one request and scatter its K/V rows
     into the page pool at `page_idx`.  One jitted program, pool donated.
     int8 pools quantize at the scatter (see admission_prefill_dense)."""
@@ -109,7 +109,7 @@ def admission_prefill_paged(params, padded, true_len, page_idx, cache,
     row = {"k": jnp.zeros((nl, 1, kvh, M, hd), dt),
            "v": jnp.zeros((nl, 1, kvh, M, hd), dt)}
     h, row = forward_hidden(params, padded, jnp.int32(0), row, cos, sin, cfg,
-                            first_chunk=True)
+                            first_chunk=True, lora=lora)
     logits = _last_logits(params, h, true_len, cfg)
     return logits[:, -1, :], scatter_row_paged(row, page_idx, cache)
 
@@ -142,7 +142,7 @@ def gather_pool_row(cache, idx, row_dtype):
 
 
 def prefill_row_chunk(params, chunk_ids, start, chunk_len, row, cos, sin,
-                      cfg, first_chunk):
+                      cfg, first_chunk, lora=None):
     """One chunk of a chunked admission prefill against the request's
     temporary row cache (chunked-admission path, VERDICT r2 weak #4: a long
     admission must not stall co-tenants for a whole-prompt prefill).
@@ -155,7 +155,7 @@ def prefill_row_chunk(params, chunk_ids, start, chunk_len, row, cos, sin,
     (models/llama.py cache/blockwise attention at start > 0).
     """
     h, row = forward_hidden(params, chunk_ids, start, row, cos, sin, cfg,
-                            first_chunk=first_chunk)
+                            first_chunk=first_chunk, lora=lora)
     logits = _last_logits(params, h, chunk_len, cfg)
     return logits[:, -1, :], row
 
@@ -177,6 +177,9 @@ class Request:
     logprobs: Optional[int] = None
     token_logprobs: List[float] = dataclasses.field(default_factory=list)
     top_logprobs: List[List[tuple]] = dataclasses.field(default_factory=list)
+    # Multi-LoRA serving: BANK index (0 = base model; submit(adapter=i)
+    # maps to i + 1 — bank slot 0 is the all-zero adapter).
+    adapter: int = 0
 
     @property
     def text_ids(self) -> List[int]:
@@ -212,7 +215,8 @@ class BatchEngine:
                  kv_quant: Optional[str] = None,
                  admit_chunk: Optional[int] = None,
                  prefix_cache: bool = False,
-                 logprobs: Optional[int] = None):
+                 logprobs: Optional[int] = None,
+                 adapters: Optional[list] = None):
         self.engine = engine
         self.args = engine.args
         self.cfg = engine.cfg
@@ -238,6 +242,26 @@ class BatchEngine:
             # Sharing is block-table indirection; the dense layout has none.
             raise ValueError("prefix_cache requires paged=True")
         self._in_admission = False
+        # Multi-LoRA serving: a bank of adapters served concurrently —
+        # requests pick theirs at submit(adapter=i); co-tenant rows decode
+        # through DIFFERENT adapters in the same ragged step (per-row
+        # low-rank deltas, models/llama.py gather_lora_rows).
+        self.lora_bank = None
+        if adapters:
+            if self.cfg.fused:
+                raise ValueError("multi-LoRA serving needs the unfused "
+                                 "split layout (fuse_matmuls=False)")
+            if prefix_cache:
+                # A prefix's K/V depends on which adapter prefilled it;
+                # cross-adapter sharing would serve adapter A's cache to
+                # adapter B's request.
+                raise ValueError("prefix_cache cannot compose with "
+                                 "multi-LoRA serving (adapter-dependent KV)")
+            from .lora import stack_adapters
+            self.lora_bank = stack_adapters(adapters, self.args,
+                                            rope_split=self.cfg.rope_split,
+                                            dtype=self.args.dtype)
+        self.adapter_ids = np.zeros(capacity, np.int32)
         from .kvcache import init_cache, init_paged_cache, PageAllocator
         if paged:
             if self.args.max_seq_len % page_size:
@@ -335,9 +359,19 @@ class BatchEngine:
 
     def submit(self, prompt_ids, max_new_tokens: int,
                stop_ids=(1, 2), temperature: float = 0.0,
-               logprobs: Optional[int] = None) -> Request:
+               logprobs: Optional[int] = None,
+               adapter: Optional[int] = None) -> Request:
+        if adapter is not None:
+            if self.lora_bank is None:
+                raise ValueError("engine was built without adapters "
+                                 "(BatchEngine(..., adapters=[...]))")
+            n = self.lora_bank["layers"][
+                next(iter(self.lora_bank["layers"]))].shape[1] - 1
+            if not 0 <= adapter < n:
+                raise ValueError(f"adapter must be in [0, {n})")
         req = Request(next(self._ids), list(prompt_ids), max_new_tokens,
-                      tuple(stop_ids), temperature, logprobs=logprobs)
+                      tuple(stop_ids), temperature, logprobs=logprobs,
+                      adapter=0 if adapter is None else adapter + 1)
         # Validate at submission: a bad request must fail here, not blow up
         # a later step() when it finally gets admitted from the queue.
         if req.max_new_tokens < 1:
@@ -407,6 +441,15 @@ class BatchEngine:
             req = self._queue.pop(0)
             self._prefill_into(slot, req)
 
+    def _adm_lora(self, req: Request):
+        """Single-adapter tree for this request's admission prefill
+        (None when the engine has no bank — keeps the no-LoRA compiled
+        programs unchanged)."""
+        if self.lora_bank is None:
+            return None
+        from .lora import bank_adapter_slice
+        return bank_adapter_slice(self.lora_bank, req.adapter)
+
     def _chunk_fn(self, A: int, first: bool):
         key = (A, first)
         if key not in self._chunk_fns:
@@ -456,6 +499,7 @@ class BatchEngine:
         req.admitting = True
         self.slots[slot] = req  # reserve: queued admissions skip this slot
         self.temps[slot] = 0.0
+        self.adapter_ids[slot] = req.adapter
         self.pos[slot] = 0
         nl, _, kvh, _, hd = self.cache["k"].shape
         M = self.max_pages * page
@@ -479,7 +523,8 @@ class BatchEngine:
                 cids[0, :clen] = padded[0, start : start + clen]
                 logits0, row = self._chunk_fn(A, start == 0)(
                     eng.params, jnp.asarray(cids), jnp.int32(start),
-                    jnp.int32(clen), row, eng.cos, eng.sin)
+                    jnp.int32(clen), row, eng.cos, eng.sin,
+                    lora=self._adm_lora(req))
                 start += clen
                 if interleave and start < L and any(
                         r is not None and not r.admitting
@@ -525,11 +570,13 @@ class BatchEngine:
             idx[:n_needed] = pages
             logits0, self.cache = self._admit_paged(
                 eng.params, jnp.asarray(padded), jnp.int32(L),
-                jnp.asarray(idx), self.cache, eng.cos, eng.sin)
+                jnp.asarray(idx), self.cache, eng.cos, eng.sin,
+                lora=self._adm_lora(req))
         else:
             logits0, self.cache = self._admit_dense(
                 eng.params, jnp.asarray(padded), jnp.int32(L),
-                jnp.int32(slot), self.cache, eng.cos, eng.sin)
+                jnp.int32(slot), self.cache, eng.cos, eng.sin,
+                lora=self._adm_lora(req))
         if req.temperature > 0:
             tok0 = self._sample(
                 logits0, self._base_key,
@@ -542,6 +589,7 @@ class BatchEngine:
         req.slot = slot
         self.slots[slot] = req
         self.temps[slot] = req.temperature
+        self.adapter_ids[slot] = req.adapter
         self.rids[slot] = req.request_id
         self.sample_ctr[slot] = 1  # tok0 consumed token index 0
         req.generated.append(first)
@@ -606,6 +654,11 @@ class BatchEngine:
         if self.paged:
             self._ensure_pages(quantum)
             kwargs["block_table"] = jnp.asarray(self.block_tables)
+        if self.lora_bank is not None:
+            # Arrays + scale only: targets/rank metadata must not enter jit.
+            kwargs["lora"] = {"layers": self.lora_bank["layers"],
+                              "scale": self.lora_bank["scale"]}
+            kwargs["adapter_ids"] = jnp.asarray(self.adapter_ids)
         sampled = self._sampling_active()
         lp = None  # (chosen_lp [B, q], top_ids [B, q, K], top_lps [B, q, K])
         if quantum == 1:
@@ -687,6 +740,7 @@ class BatchEngine:
         req.done = True
         self.slots[req.slot] = None
         self.temps[req.slot] = 0.0
+        self.adapter_ids[req.slot] = 0
         if self.paged:
             if self._registry is not None:
                 # Cache the conversation (prompt + generated) so a

@@ -85,12 +85,15 @@ def time_prefill(engine, L: int, n_lo=8, n_hi=72) -> float:
     fns = {n: jax.jit(partial(many, n=n)) for n in (n_lo, n_hi)}
     t = {}
     for n, fn in fns.items():
-        out = fn(engine.params, ids, cache, engine.cos, engine.sin)
-        jax.block_until_ready(out)  # compile
+        # Force a host transfer to close the timing (np.asarray), matching
+        # the repo's other marginal benches — block_until_ready alone has
+        # proven unreliable through the dev-tunnel backend (T(n) came back
+        # flat in n while the device demonstrably ran the iterations).
+        np.asarray(fn(engine.params, ids, cache, engine.cos, engine.sin))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(
+            np.asarray(
                 fn(engine.params, ids, cache, engine.cos, engine.sin))
             best = min(best, time.perf_counter() - t0)
         t[n] = best

@@ -53,11 +53,11 @@ def probe(dtype, label):
     t = {}
     for n in (8, 40):
         fn = jax.jit(lambda w, s, x0, n=n: many(w, s, x0, n))
-        jax.block_until_ready(fn(w, s, x0))
-        best = 1e9
-        for _ in range(4):
+        np.asarray(fn(w, s, x0))  # compile; np.asarray closes the timing
+        best = 1e9               # (block_until_ready is unreliable through
+        for _ in range(4):       # the dev tunnel — see prefill_bench)
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(w, s, x0))
+            np.asarray(fn(w, s, x0))
             best = min(best, time.perf_counter() - t0)
         t[n] = best
     per = (t[40] - t[8]) / 32
