@@ -62,12 +62,14 @@ _DONE = object()
 
 class _Pending:
     def __init__(self, prompt_ids: List[int], max_tokens: int,
-                 temperature: float, stop_ids, logprobs: Optional[int] = None):
+                 temperature: float, stop_ids, logprobs: Optional[int] = None,
+                 adapter: Optional[int] = None):
         self.prompt_ids = prompt_ids
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.stop_ids = tuple(stop_ids)
         self.logprobs = logprobs
+        self.adapter = adapter
         self.out: "queue.Queue" = queue.Queue()
         self.error: Optional[str] = None
         self.finish_reason: str = "length"
@@ -97,9 +99,9 @@ class EngineLoop:
     # -- client side ---------------------------------------------------------
 
     def submit(self, prompt_ids, max_tokens, temperature=0.0,
-               stop_ids=(1, 2), logprobs=None) -> _Pending:
+               stop_ids=(1, 2), logprobs=None, adapter=None) -> _Pending:
         p = _Pending(list(map(int, prompt_ids)), int(max_tokens),
-                     float(temperature), stop_ids, logprobs)
+                     float(temperature), stop_ids, logprobs, adapter)
         self._subs.put(p)
         return p
 
@@ -139,7 +141,8 @@ class EngineLoop:
             req = self.be.submit(p.prompt_ids, max_new_tokens=p.max_tokens,
                                  stop_ids=p.stop_ids,
                                  temperature=p.temperature,
-                                 logprobs=p.logprobs)
+                                 logprobs=p.logprobs,
+                                 adapter=p.adapter)
         except (ValueError, MemoryError) as e:
             p.error = str(e)
             p.out.put(_DONE)
@@ -251,6 +254,24 @@ class CompletionHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _resolve_adapter(self, body):
+        """OpenAI-style multi-model routing: "adapter" (int index or
+        registered name) picks a LoRA from the engine's bank; absent ->
+        base model.  Returns (index_or_None, error_or_None)."""
+        a = body.get("adapter")
+        if a is None:
+            return None, None
+        names = getattr(self.server, "adapter_names", None) or []
+        if isinstance(a, str):
+            if a not in names:
+                return None, (f"unknown adapter {a!r}; "
+                              f"available: {names or '(none)'}")
+            return names.index(a), None
+        try:
+            return int(a), None
+        except (TypeError, ValueError):
+            return None, "adapter must be an int index or a name"
+
     def _decode(self, ids: List[int]) -> str:
         tok = self.server.tokenizer
         return tok.decode(ids) if tok is not None else ""
@@ -349,13 +370,17 @@ class CompletionHandler(BaseHTTPRequestHandler):
         if stream and n_choices != 1:
             self._json(400, {"error": "stream supports n=1 only"})
             return
+        adapter, err = self._resolve_adapter(body)
+        if err:
+            self._json(400, {"error": err})
+            return
 
         loop = self.server.loop
         # n > 1: n independent engine requests decode as co-tenants of the
         # same batch (each gets its own request id, so sampled streams
         # differ by the per-request PRNG fold; greedy duplicates by design).
         pends = [loop.submit(prompt_ids, max_tokens, temperature, stop_ids,
-                             logprobs) for _ in range(n_choices)]
+                             logprobs, adapter) for _ in range(n_choices)]
         rid = f"cmpl-{int(time.time() * 1e3):x}-{id(pends[0]) & 0xffff:x}"
 
         if stream:
@@ -468,8 +493,13 @@ class CompletionHandler(BaseHTTPRequestHandler):
         if stream and n_choices != 1:
             self._json(400, {"error": "stream supports n=1 only"})
             return
+        adapter, err = self._resolve_adapter(body)
+        if err:
+            self._json(400, {"error": err})
+            return
         loop = self.server.loop
-        pends = [loop.submit(prompt_ids, max_tokens, temperature)
+        pends = [loop.submit(prompt_ids, max_tokens, temperature,
+                             adapter=adapter)
                  for _ in range(n_choices)]
         rid = f"chatcmpl-{int(time.time() * 1e3):x}-{id(pends[0]) & 0xffff:x}"
 
@@ -573,7 +603,8 @@ class CompletionHandler(BaseHTTPRequestHandler):
 def serve(batch_engine, tokenizer=None, host: str = "127.0.0.1",
           port: int = 8000, quantum: int = 4,
           verbose: bool = False,
-          chat_template: str = "plain") -> ThreadingHTTPServer:
+          chat_template: str = "plain",
+          adapter_names=None) -> ThreadingHTTPServer:
     """Start the HTTP front-end; returns the (running) server.  The caller
     owns shutdown: ``srv.shutdown(); srv.loop.shutdown()``."""
     loop = EngineLoop(batch_engine, quantum=quantum)
@@ -582,6 +613,7 @@ def serve(batch_engine, tokenizer=None, host: str = "127.0.0.1",
     srv.tokenizer = tokenizer
     srv.verbose = verbose
     srv.chat_template = chat_template
+    srv.adapter_names = list(adapter_names or [])
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="llama3np-http")
     srv._serve_thread = t
@@ -612,6 +644,10 @@ def main(argv=None) -> int:
     p.add_argument("--admit-chunk", type=int, default=None)
     p.add_argument("--logprobs", type=int, default=None, metavar="K",
                    help="enable per-token logprobs up to top-K")
+    p.add_argument("--adapter", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="serve a LoRA adapter (save_lora .npz); repeatable "
+                        "— requests pick one with \"adapter\": NAME")
     p.add_argument("--chat-template", default="plain",
                    choices=["plain", "llama2", "chatml"],
                    help="default template for /v1/chat/completions")
@@ -622,19 +658,33 @@ def main(argv=None) -> int:
     from .models.llama import Llama
     from .serving import BatchEngine
 
-    margs = preset(args.preset,
-                   **({"quant": args.quant} if args.quant else {}))
+    overrides = {}
+    if args.quant:
+        overrides["quant"] = args.quant
+    if args.adapter or args.quant == "int4":
+        overrides["fuse_matmuls"] = False  # bank deltas / int4 need split
+    margs = preset(args.preset, **overrides)
     source = (synthetic_weights(margs, seed=0) if args.synthetic
               else args.model)
     engine = Llama(source, margs)
+    names, adapters = [], []
+    for spec in args.adapter:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--adapter wants NAME=PATH, got {spec!r}")
+        from .lora import load_lora
+        names.append(name)
+        adapters.append(load_lora(path))
     be = BatchEngine(engine, capacity=args.capacity, paged=args.paged,
                      page_size=args.page_size, kv_quant=args.kv_quant,
                      admit_chunk=args.admit_chunk,
                      prefix_cache=args.prefix_cache,
-                     logprobs=args.logprobs)
+                     logprobs=args.logprobs,
+                     adapters=adapters or None)
     tok = None if args.no_tokenizer else Tokenizer(args.tokenizer)
     srv = serve(be, tok, args.host, args.port, quantum=args.quantum,
-                verbose=args.verbose, chat_template=args.chat_template)
+                verbose=args.verbose, chat_template=args.chat_template,
+                adapter_names=names)
     print(f"serving {args.preset} on http://{args.host}:{args.port} "
           f"(capacity {args.capacity}, quantum {args.quantum})", flush=True)
     try:

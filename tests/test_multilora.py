@@ -155,3 +155,26 @@ def test_sampled_adapter_stream(ml_setup):
             be.step(quantum=2)
         outs.append(r.generated)
     assert outs[0] == outs[1]
+
+
+def test_tp_multilora_matches_single_chip(ml_setup):
+    """The adapter bank composes with tensor-parallel serving: the bank
+    replicates over the mesh (rank-r factors are tiny), GSPMD reshards the
+    per-row deltas into the column-sharded projection outputs, and streams
+    stay identical to the single-chip multi-LoRA engine."""
+    from llama3np_tpu.parallel.sharding import make_mesh
+
+    args, weights, adapters, base, merged = ml_setup
+    tp = Llama(weights, args, mesh=make_mesh(dp=1, tp=2))
+
+    def run(engine):
+        be = BatchEngine(engine, capacity=3, paged=True, page_size=8,
+                         adapters=adapters)
+        reqs = [be.submit([1, 5, 9, 14], 8, stop_ids=()),
+                be.submit([1, 7, 2], 8, stop_ids=(), adapter=0),
+                be.submit([1, 3, 8], 8, stop_ids=(), adapter=1)]
+        while be.num_active:
+            be.step(quantum=4)
+        return [r.generated for r in reqs]
+
+    assert run(base) == run(tp)

@@ -253,3 +253,51 @@ def test_text_prompt_with_tokenizer(engine, tmp_path):
     finally:
         s.shutdown()
         s.loop.shutdown()
+
+
+# -- multi-LoRA routing --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lora_srv():
+    """Server over an adapter bank: requests route by adapter name/index."""
+    import jax
+    from llama3np_tpu.lora import init_lora
+
+    args = preset("test-tiny", fuse_matmuls=False)
+    eng = Llama(synthetic_weights(args, seed=0), args)
+    ad = init_lora(args, rank=4, seed=3, targets=("wq", "wv"))
+    ly = dict(ad["layers"])
+    ly["wq_b"] = 0.1 * jax.random.normal(jax.random.PRNGKey(9),
+                                         ly["wq_b"].shape, ly["wq_b"].dtype)
+    ad = {**ad, "layers": ly}
+    be = BatchEngine(eng, capacity=4, adapters=[ad])
+    s = serve(be, tokenizer=None, port=0, quantum=2,
+              adapter_names=["tuned"])
+    yield s, eng, ad
+    s.shutdown()
+    s.loop.shutdown()
+
+
+def test_adapter_route_by_name_and_index(lora_srv):
+    s, eng, ad = lora_srv
+    body = {"prompt_ids": [1, 5, 9], "max_tokens": 8, "stop_ids": []}
+    st, base = _post(s, "/v1/completions", body)
+    assert st == 200
+    st, by_name = _post(s, "/v1/completions", {**body, "adapter": "tuned"})
+    assert st == 200
+    st, by_idx = _post(s, "/v1/completions", {**body, "adapter": 0})
+    assert st == 200
+    assert by_name["choices"][0]["token_ids"] == \
+        by_idx["choices"][0]["token_ids"]
+    # The adapter has non-zero B factors: its stream must differ from base.
+    assert by_name["choices"][0]["token_ids"] != \
+        base["choices"][0]["token_ids"]
+
+
+def test_adapter_route_errors(lora_srv):
+    s, _, _ = lora_srv
+    body = {"prompt_ids": [1, 5], "max_tokens": 4}
+    st, out = _post(s, "/v1/completions", {**body, "adapter": "nope"})
+    assert st == 400 and "unknown adapter" in out["error"]
+    st, out = _post(s, "/v1/completions", {**body, "adapter": [1]})
+    assert st == 400
