@@ -69,20 +69,41 @@ class StaticConfig(NamedTuple):
 
 def _device_put_params(params: Dict) -> Dict:
     """Single-chip parameter placement.  int4 leaves upload as int8 BYTES
-    and convert to s4 inside a jitted program: an eager device_put of a
-    host int4 array (or any later relayout of one) recurses inside this
-    backend's jit dispatch, and the jitted convert births the array in the
-    packed layout downstream programs expect — no relayout ever happens."""
+    and convert to s4 inside a jitted program whose OUTPUT layout is pinned
+    to the packed sub-byte form (sub_byte_element_size_in_bits=4, the
+    tiling every s4 matmul consumer asks for): a host-uploaded int4 array
+    is born UNPACKED (sub_byte 0, one byte per nibble — no memory win and
+    a layout mismatch), and this backend cannot relayout a committed array
+    (device_put-with-layout recurses in its jit dispatch).  Probed on
+    hardware: the pinned-out-layout convert births packed s4 that every
+    downstream program consumes with zero copies."""
     import ml_dtypes
 
-    to_s4 = jax.jit(lambda a: a.astype(jnp.int4))
+    on_tpu = jax.default_backend() != "cpu"
+    convs = {}
+
+    def conv_for(ndim: int):
+        if ndim not in convs:
+            if on_tpu:
+                from jax.experimental.layout import Format, Layout
+                from jax.sharding import SingleDeviceSharding
+                lay = Layout(major_to_minor=tuple(range(ndim)),
+                             tiling=((64, 128), (8, 1)),
+                             sub_byte_element_size_in_bits=4)
+                fmt = Format(lay, SingleDeviceSharding(jax.devices()[0]))
+                convs[ndim] = jax.jit(lambda a: a.astype(jnp.int4),
+                                      out_shardings=fmt)
+            else:
+                convs[ndim] = jax.jit(lambda a: a.astype(jnp.int4))
+        return convs[ndim]
 
     def put(x):
         if getattr(x, "dtype", None) == ml_dtypes.int4:
-            return to_s4(jnp.asarray(np.asarray(x).view(np.int8)))
-        return jnp.asarray(x)
+            x8 = jnp.asarray(np.asarray(x).view(np.int8))
+            return conv_for(x8.ndim)(x8)
+        return jax.device_put(jnp.asarray(x))
 
-    return jax.device_put(jax.tree.map(put, params))
+    return jax.tree.map(put, params)
 
 
 def embed_tokens(params: Dict, ids) -> jax.Array:

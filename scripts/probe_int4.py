@@ -33,10 +33,15 @@ def probe(dtype, label):
 
     rng = np.random.default_rng(0)
     w8 = rng.integers(-7, 8, size=(D, FD), dtype=np.int8)
-    # Cast HOST-side: an eager on-device int8->s4 convert trips a JAX
-    # recursion bug on this backend; device_put of a host int4 array is fine.
-    host_dt = {jnp.int4: ml_dtypes.int4}.get(dtype, dtype)
-    w = jnp.asarray(w8.astype(host_dt))
+    if dtype == jnp.int4:
+        # Convert INSIDE jit so the s4 array is born in XLA's preferred
+        # packed layout: this backend cannot relayout a committed array
+        # (device_put-with-layout recurses), and a host-uploaded s4
+        # array's default layout differs from what compute wants
+        # (models/llama._device_put_params, same workaround).
+        w = jax.jit(lambda a: a.astype(jnp.int4))(jnp.asarray(w8))
+    else:
+        w = jnp.asarray(w8.astype(dtype))
     s = jnp.asarray(rng.random(FD, dtype=np.float32) + 0.5)
 
     def many(w, s, x0, n):
