@@ -34,12 +34,17 @@ def probe(dtype, label):
     rng = np.random.default_rng(0)
     w8 = rng.integers(-7, 8, size=(D, FD), dtype=np.int8)
     if dtype == jnp.int4:
-        # Convert INSIDE jit so the s4 array is born in XLA's preferred
-        # packed layout: this backend cannot relayout a committed array
-        # (device_put-with-layout recurses), and a host-uploaded s4
-        # array's default layout differs from what compute wants
-        # (models/llama._device_put_params, same workaround).
-        w = jax.jit(lambda a: a.astype(jnp.int4))(jnp.asarray(w8))
+        # Born packed via a pinned-out-layout jitted convert — this backend
+        # cannot relayout a committed array and host uploads are born
+        # unpacked (models/llama._device_put_params, same workaround).
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        fmt = Format(Layout(major_to_minor=(0, 1),
+                            tiling=((64, 128), (8, 1)),
+                            sub_byte_element_size_in_bits=4),
+                     SingleDeviceSharding(jax.devices()[0]))
+        w = jax.jit(lambda a: a.astype(jnp.int4),
+                    out_shardings=fmt)(jnp.asarray(w8))
     else:
         w = jnp.asarray(w8.astype(dtype))
     s = jnp.asarray(rng.random(FD, dtype=np.float32) + 0.5)

@@ -86,7 +86,9 @@ def main():
     t2 = time.perf_counter()
     print(f"  {t2 - t1:.0f}s int8-checkpoint boot", flush=True)
 
-    wbytes = sum(x.size * x.dtype.itemsize
+    import jax.numpy as jnp
+    wbytes = sum(x.size // 2 if x.dtype == jnp.int4
+                 else x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(engine.params))
     bf16_kv = cache_nbytes(args.replace(kv_dtype="bfloat16"), 1)
     int8_kv = cache_nbytes(args, 1, quant="int8")
