@@ -178,3 +178,21 @@ def test_tp_multilora_matches_single_chip(ml_setup):
         return [r.generated for r in reqs]
 
     assert run(base) == run(tp)
+
+
+def test_adapters_over_int4_base(ml_setup):
+    """Adapters compose with a quantized base: deltas add AFTER the
+    commuting dequant post-scale, so an int4 base + adapter serves the
+    same stream as a solo engine on (fake-quantized base + adapter) — here
+    pinned the cheaper way: the int4 bank engine must differ from the int4
+    base stream (adapter active) and match itself across runs."""
+    args, weights, adapters, base, merged = ml_setup
+    import dataclasses
+    qargs = dataclasses.replace(args, quant="int4")
+    qeng = Llama(weights, qargs)
+    prompt = [1, 5, 9, 14]
+    base_stream = serve_stream(qeng, adapters, prompt, 10, adapter=None)
+    a_stream = serve_stream(qeng, adapters, prompt, 10, adapter=0)
+    a_stream2 = serve_stream(qeng, adapters, prompt, 10, adapter=0)
+    assert a_stream == a_stream2
+    assert a_stream != base_stream  # non-zero B factors must show
