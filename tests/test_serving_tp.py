@@ -153,7 +153,7 @@ def test_tp_70b_widths_serving_step():
     fp32 staging tree at these widths is too slow to build twice on CPU)."""
     args = preset("llama3-70b", n_layers=2, max_seq_len=256,
                   max_batch_size=2, quant="int8")
-    w = synthetic_weights(args, seed=0, dtype=np.float32)
+    w = synthetic_weights(args, seed=0)
     eng = Llama(w, args, mesh=make_mesh(dp=1, tp=8))
     be = BatchEngine(eng, capacity=2, paged=True, page_size=32,
                      kv_quant="int8")
