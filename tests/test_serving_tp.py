@@ -9,7 +9,6 @@ programs.  Every test pins stream identity against the single-chip engine —
 continuous batching must not change a single token under TP.
 """
 
-import numpy as np
 import pytest
 
 from llama3np_tpu import preset, synthetic_weights
