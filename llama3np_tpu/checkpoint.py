@@ -111,7 +111,7 @@ def _keys(weights):
 
 
 def quantize_param_tree(params: Dict, device: bool = False,
-                        bits: int = 8) -> Dict:
+                        bits: int = 8, head_bits: int = None) -> Dict:
     """Weight-only int8 quantization of the parameter tree — either the
     fused single-chip layout (checkpoint.fuse_param_tree output) or the
     split layout tensor parallelism keeps (build_param_tree output; scale
@@ -146,34 +146,46 @@ def quantize_param_tree(params: Dict, device: bool = False,
     train_confident.py methodology; real-8B quality needs real weights).
     int4 runs the unfused split layout (single-chip or TP) — the fused
     Pallas decode kernels consume int8 blocks only.
+
+    head_bits (default = bits) quantizes lm_head/tok_embedding at a
+    different width — the mixed-bit tree (int4 layers + int8 head) that
+    sidesteps backend-specific s4 layout constraints on the 2-D leaves
+    while keeping the layer-weight stream at half bytes.
     """
-    qmax = {8: 127, 4: 7}[bits]
-    if device:
-        import functools
+    head_bits = bits if head_bits is None else head_bits
 
-        import jax
-        import jax.numpy as jnp
+    def make_q(nbits):
+        qmax = {8: 127, 4: 7}[nbits]
+        if device:
+            import functools
 
-        qdt = jnp.int8 if bits == 8 else jnp.int4
+            import jax
+            import jax.numpy as jnp
 
-        @functools.partial(jax.jit, static_argnames="axis")
-        def q(w, axis):
-            w = jnp.asarray(w, jnp.float32)
-            s = jnp.max(jnp.abs(w), axis=axis, keepdims=True) / qmax
-            s = jnp.maximum(s, 1e-12).astype(jnp.float32)
-            w8 = jnp.clip(jnp.rint(w / s), -qmax, qmax).astype(qdt)
-            return w8, s
-    else:
-        import ml_dtypes
+            qdt = jnp.int8 if nbits == 8 else jnp.int4
 
-        qdt = np.int8 if bits == 8 else ml_dtypes.int4
+            @functools.partial(jax.jit, static_argnames="axis")
+            def q(w, axis):
+                w = jnp.asarray(w, jnp.float32)
+                s = jnp.max(jnp.abs(w), axis=axis, keepdims=True) / qmax
+                s = jnp.maximum(s, 1e-12).astype(jnp.float32)
+                w8 = jnp.clip(jnp.rint(w / s), -qmax, qmax).astype(qdt)
+                return w8, s
+        else:
+            import ml_dtypes
 
-        def q(w, axis):
-            w = np.asarray(w, np.float32)
-            s = np.max(np.abs(w), axis=axis, keepdims=True) / qmax
-            s = np.maximum(s, 1e-12).astype(np.float32)
-            w8 = np.clip(np.rint(w / s), -qmax, qmax).astype(qdt)
-            return w8, s
+            qdt = np.int8 if nbits == 8 else ml_dtypes.int4
+
+            def q(w, axis):
+                w = np.asarray(w, np.float32)
+                s = np.max(np.abs(w), axis=axis, keepdims=True) / qmax
+                s = np.maximum(s, 1e-12).astype(np.float32)
+                w8 = np.clip(np.rint(w / s), -qmax, qmax).astype(qdt)
+                return w8, s
+        return q
+
+    q = make_q(bits)
+    q_head = q if head_bits == bits else make_q(head_bits)
 
     ly = dict(params["layers"])
     fused = "wqkv" in ly
@@ -182,8 +194,8 @@ def quantize_param_tree(params: Dict, device: bool = False,
     from functools import partial
 
     tasks = [(kind, partial(q, ly[kind], -2)) for kind in kinds]
-    tasks += [("lm_head", partial(q, params["lm_head"], -2)),   # s [1, VS]
-              ("tok_embedding", partial(q, params["tok_embedding"], -1))]
+    tasks += [("lm_head", partial(q_head, params["lm_head"], -2)),
+              ("tok_embedding", partial(q_head, params["tok_embedding"], -1))]
     done = ({name: thunk() for name, thunk in tasks} if device
             else _parallel_items(tasks))
     for kind in kinds:

@@ -134,3 +134,28 @@ def test_int4_checkpoint_roundtrip(rng, tmp_path):
     want = np.asarray(eng.generate_tokens(ids, 8)).tolist()
     got = np.asarray(booted.generate_tokens(ids, 8)).tolist()
     assert got == want
+
+
+def test_mixed_bits_head_int8(rng):
+    """bits=4 + head_bits=8: layer weights int4, lm_head/embedding int8 —
+    the mixed tree that sidesteps backend s4 layout constraints on the 2-D
+    leaves (BENCHMARKS round-5 envelope note).  Engine must boot the tree
+    and generate deterministically."""
+    args = preset("test-tiny", fuse_matmuls=False)
+    tree = build_param_tree(grid4_weights(args, seed=5), args)
+    q = quantize_param_tree(tree, bits=4, head_bits=8)
+    assert q["layers"]["wq"].dtype == ml_dtypes.int4
+    assert q["lm_head"].dtype == np.int8
+    assert q["tok_embedding"].dtype == np.int8
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mixed.npz")
+        save_quantized_npz({k: v for k, v in q.items()}, path,
+                           rope_split=False)
+        args2 = dataclasses.replace(args, quant="int4")
+        booted = Llama.from_quantized(path, args2)
+    ids = rng.integers(3, args.vocab_size, size=(1, 4)).astype(np.int32)
+    a = np.asarray(booted.generate_tokens(ids, 8)).tolist()
+    b = np.asarray(booted.generate_tokens(ids, 8)).tolist()
+    assert a == b and len(a[0]) == 8
