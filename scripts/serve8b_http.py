@@ -96,13 +96,18 @@ def main():
     from llama3np_tpu.serving import BatchEngine
 
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
-    args = preset("llama3-8b", quant="int8", fuse_matmuls=False,
-                  kv_quant="int8")
+    int4 = "--int4" in sys.argv
+    args = preset("llama3-8b", quant="int4" if int4 else "int8",
+                  fuse_matmuls=False, kv_quant="int8")
     t0 = time.perf_counter()
-    engine = Llama.from_quantized("/tmp/llama3_8b_int8.npz", args)
+    engine = Llama.from_quantized(
+        "/tmp/llama3_8b_int4h8.npz" if "--int4" in sys.argv
+        else "/tmp/llama3_8b_int8.npz",
+        args)
     print(f"boot {time.perf_counter() - t0:.0f}s", flush=True)
-    be = BatchEngine(engine, capacity=8, paged=True, page_size=64,
-                     num_pages=1040, kv_quant="int8", admit_chunk=512)
+    be = BatchEngine(engine, capacity=24 if int4 else 8, paged=True,
+                     page_size=64, num_pages=2000 if int4 else 1040,
+                     kv_quant="int8", admit_chunk=512)
     srv = serve(be, None, port=PORT, quantum=8)
 
     # Warm the compile caches with one request before the measured bursts.
